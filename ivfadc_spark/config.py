@@ -1,0 +1,60 @@
+"""Engine configuration.
+
+Analog of the reference's ``Config`` struct + ``CParamReader`` key=value
+files (/root/reference/config.h:23-120, /root/reference/ParamReader.cpp:39-71),
+re-expressed as a dataclass with CLI/JSON loading. Knob mapping:
+
+- ``coarsek`` (number of cells)      -> implicit: vocabulary size (data-driven)
+- ``nsq``/``nsqbits`` (code budget)  -> ``block_size`` posting-block budget
+- ``ma`` (multi-assignment)          -> query terms (data-driven)
+- ``num_ret``                        -> ``top_k``
+- ``nt`` (threads)                   -> spark.sql.shuffle.partitions / master
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field, fields
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # BM25 scoring (live version of the dead tf-idf path,
+    # /root/reference/SearchEngine.cpp:302-335)
+    k1: float = 1.2
+    b: float = 0.75
+    top_k: int = 10  # reference default num_ret (/root/reference/config.h:91,98)
+
+    # tokenizer: lowercase, split on non-[a-z0-9] runs, drop empties.
+    # Must stay expressible in both Spark SQL and DuckDB SQL (oracle parity).
+    token_pattern: str = "[^a-z0-9]+"
+
+    # posting blocks (analog of Entry{id, codes[nsq]} fixed-width packing,
+    # /root/reference/entry.cpp:60-72 — ours is delta+varint, variable width)
+    block_size: int = 128
+
+    # skew handling (analog of the spin-locked hot-centroid files,
+    # /root/reference/IO.h:503-522): a term with df > salt_df_threshold is
+    # split across up to max_salts sub-lists keyed by doc_id range.
+    salt_df_threshold: int = 50_000
+    max_salts: int = 16
+
+    # layout
+    shuffle_partitions: int = 32
+    term_buckets: int = 64  # postings dataset partition key = hash(term) % buckets
+
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EngineConfig":
+        raw = json.loads(s)
+        known = {f.name for f in fields(cls)}
+        kw = {k: v for k, v in raw.items() if k in known}
+        kw.setdefault("extra", {k: v for k, v in raw.items() if k not in known})
+        return cls(**kw)
+
+
+DEFAULT = EngineConfig()

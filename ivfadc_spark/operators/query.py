@@ -1,0 +1,102 @@
+"""BM25 query engine — pure-DataFrame path.
+
+Graft of mode-3 search (/root/reference/SearchEngine.cpp:112-212):
+
+- query tokenize + multi-term fan-out  <- quantizeFile multi-assignment
+  (/root/reference/Vocab.cpp:132-146, T2)
+- query-terms x postings equi-join     <- posting-list probe J1
+  (/root/reference/SearchEngine.cpp:148-157)
+- BM25 partial score + sum per doc     <- residual reconstruct + dist_l2_sq
+  (/root/reference/SearchEngine.cpp:170-184)
+- per-query top-k                      <- full sort + truncate T1
+  (/root/reference/SearchEngine.cpp:194-198), here a window row_number
+  so Catalyst can run TakeOrderedAndProject per partition.
+
+This path is the rank-identity reference inside the engine: the compressed
+block-max WAND path (operators/wand.py) must match it exactly, and it must
+match the DuckDB oracle. Everything is built-in Catalyst expressions —
+whole-stage codegen end to end, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ivfadc_spark.config import DEFAULT, EngineConfig
+from ivfadc_spark.functions.tokenize import tokens_col
+
+
+def query_terms(queries: DataFrame, text_col: str = "text") -> DataFrame:
+    """(query_id, term) pairs, deduped — multi-assignment analog (a query
+    'hits' one posting list per distinct term, /root/reference/Vocab.cpp:236-248)."""
+    return queries.select(
+        "query_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+    )
+
+
+def bm25_partial_score(cfg: EngineConfig = DEFAULT):
+    """Column expr: idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Expects columns: idf, tf, dl, avgdl. float64 throughout (rank-identity).
+    """
+    k1, b = float(cfg.k1), float(cfg.b)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    return F.col("idf") * (F.col("tf") * (k1 + 1.0)) / denom
+
+
+def bm25_scores(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    dl: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, doc_id, score) for every candidate doc.
+
+    Join strategy at scale: qterms is tiny (queries x terms) -> broadcast it
+    against the tf fact table so the posting probe is a broadcast-hash join
+    with no shuffle of the index side (the J1 analog: only the probed lists
+    are touched; Catalyst prunes the rest). dictionary is vocabulary-sized ->
+    broadcast. dl joins on doc_id after the candidate set is already small.
+    """
+    cand = tf.join(F.broadcast(qterms), "term")  # J1: posting-list probe
+    cand = cand.join(F.broadcast(dictionary.select("term", "idf")), "term")
+    cand = cand.join(dl, "doc_id").withColumn("avgdl", F.lit(float(avgdl)))
+    return (
+        cand.withColumn("partial", bm25_partial_score(cfg))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+
+
+def topk(scores: DataFrame, k: int | None = None, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-query top-k, ties broken by doc_id ASC (deterministic).
+
+    T1 analog — but where the reference full-sorts every candidate
+    (/root/reference/SearchEngine.cpp:194), the window + row_number filter
+    lets Spark keep a bounded per-partition sort.
+    """
+    k = k or cfg.top_k
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )
+
+
+def bm25_topk(
+    queries: DataFrame,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    dl: DataFrame,
+    avgdl: float,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """End-to-end: queries(query_id, text) -> (query_id, rank, doc_id, score)."""
+    qt = query_terms(queries)
+    return topk(bm25_scores(qt, tf, dictionary, dl, avgdl, cfg), k, cfg)

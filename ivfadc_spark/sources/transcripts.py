@@ -1,0 +1,152 @@
+"""Transcripts source: the engine's primary input table.
+
+Schema per BASELINE.json ``input_hint`` (Iceberg-style table of multi-turn
+conversation / agent transcripts)::
+
+    transcripts(conv_id string, turn_idx int, role string,
+                text string, tool string, ts timestamp)
+
+Document = one turn. ``doc_id`` is NOT a column: it is the dense rank over
+the stable ordering ``(conv_id ASC, turn_idx ASC)`` — the data-derived
+analog of the reference's positional docID assignment at index load
+(/root/reference/SearchEngine.cpp:275-287), made deterministic so segment
+merge / resume cannot permute it.
+
+Also contains the deterministic synthetic generator (seed=42, Zipfian
+vocabulary with a guaranteed head term and singleton tails) used by tests
+and bench — no external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["", "search", "bash", "browser", "python"]
+
+
+def synth_transcripts_pdf(
+    n_conversations: int = 100,
+    seed: int = 42,
+    vocab_size: int = 200,
+    min_turns: int = 3,
+    max_turns: int = 20,
+    min_words: int = 3,
+    max_words: int = 40,
+) -> pd.DataFrame:
+    """Deterministic synthetic transcripts (FIXTURES.md §1).
+
+    Zipfian term frequencies exercise head-term skew; ``headterm`` is forced
+    into >50% of turns; ``singleton{i}`` terms appear exactly once.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"term{i:03d}" for i in range(vocab_size)])
+    # Zipf weights over the vocabulary
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    weights = 1.0 / ranks
+    weights /= weights.sum()
+
+    rows: dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    base_ts = np.datetime64("2024-01-01T00:00:00")
+    singleton_counter = 0
+    for c in range(n_conversations):
+        conv = f"conv-{c:06d}"
+        n_turns = int(rng.integers(min_turns, max_turns + 1))
+        t = base_ts + np.timedelta64(c * 3600, "s")
+        for i in range(n_turns):
+            n_words = int(rng.integers(min_words, max_words + 1))
+            words = list(rng.choice(vocab, size=n_words, p=weights))
+            if rng.random() < 0.6:  # head term in >50% of turns
+                words.append("headterm")
+            if rng.random() < 0.02:  # rare singleton terms (posting len 1)
+                words.append(f"singleton{singleton_counter}")
+                singleton_counter += 1
+            role = _ROLES[i % 3] if rng.random() < 0.8 else str(rng.choice(_ROLES))
+            tool = str(rng.choice(_TOOLS)) if role == "tool" else ""
+            t = t + np.timedelta64(int(rng.integers(1, 120)), "s")
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(np.int32(i))
+            rows["role"].append(role)
+            rows["text"].append(" ".join(words))
+            rows["tool"].append(tool)
+            rows["ts"].append(t)
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf
+
+
+def synth_transcripts(spark: SparkSession, n_conversations: int = 100, seed: int = 42, **kw) -> DataFrame:
+    return spark.createDataFrame(
+        synth_transcripts_pdf(n_conversations, seed, **kw), schema=TRANSCRIPTS_SCHEMA
+    )
+
+
+def transcripts_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the transcripts shape.
+
+    Groups of 8 docs become one conversation; deterministic (pure column
+    expressions of doc_id). Lets every transcript code path run on the
+    read-only /root/testdata parquet without synthesizing data.
+    """
+    return docs.select(
+        F.format_string("conv-%06d", (F.col("doc_id") / 8).cast("long")).alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
+    )
+
+
+def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Dense 0-based doc_id over stable ``(conv_id, turn_idx)`` order — scalably.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` is a single-partition sort:
+    a non-starter at 10^12 turns. Instead (classic distributed dense-rank):
+
+    1. range-repartition + sort within partitions on the key,
+    2. count rows per partition (tiny driver-side collect, one row per
+       partition — NOT per row),
+    3. doc_id = prefix-sum offset of the partition + local row_number.
+
+    The result depends only on the data (key order), not on load order —
+    unlike the reference's load-order positional IDs
+    (/root/reference/SearchEngine.cpp:275-287).
+    """
+    from pyspark.sql.window import Window
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
+    out = parted.withColumn(
+        "doc_id",
+        (offmap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+    ).drop("_pid")
+    return out
+
+
+def doc_map(df_with_ids: DataFrame) -> DataFrame:
+    """doc_map(doc_id, conv_id, turn_idx) — analog of the reference ``nl``
+    name list (/root/reference/Index.cpp:10,35,97)."""
+    return df_with_ids.select("doc_id", "conv_id", "turn_idx")

@@ -1,0 +1,95 @@
+"""Rank-identity of the DataFrame BM25 path vs a brute-force numpy oracle
+and vs DuckDB SQL — the engine's golden test (SURVEY.md §5)."""
+
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ivfadc_spark.config import DEFAULT
+from ivfadc_spark.operators import stats as S
+from ivfadc_spark.operators.query import bm25_topk
+
+QUERIES = [
+    (0, "table scan merge"),
+    (1, "spark query"),
+    (2, "the fast key"),
+    (3, "zzz-out-of-vocab"),
+    (4, "join window stream row"),
+    (5, "customer"),
+]
+
+
+def numpy_bm25_oracle(texts: dict[int, str], queries, k=10, k1=1.2, b=0.75):
+    """Brute-force BM25 over every doc — the golden reference."""
+    import re
+
+    pat = re.compile(DEFAULT.token_pattern)
+    toks = {d: [t for t in pat.split(s.lower()) if t] for d, s in texts.items()}
+    n = len(toks)
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df = Counter()
+    tfs = {d: Counter(ts) for d, ts in toks.items()}
+    for d, c in tfs.items():
+        for t in c:
+            df[t] += 1
+    out = []
+    for qid, qtext in queries:
+        qterms = sorted({t for t in pat.split(qtext.lower()) if t})
+        scored = []
+        for d in toks:
+            s = 0.0
+            for t in qterms:
+                tf = tfs[d].get(t, 0)
+                if not tf:
+                    continue
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+            if s > 0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scored[:k], 1):
+            out.append((qid, r, d, s))
+    return pd.DataFrame(out, columns=["query_id", "rank", "doc_id", "score"])
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+
+def _engine_topk(spark, docs_df, k=10):
+    tf = S.term_frequencies(docs_df)
+    dl = S.doc_lengths(docs_df)
+    cs = S.corpus_stats(dl)
+    d = S.dictionary(tf, cs["n_docs"])
+    q = spark.createDataFrame(
+        pd.DataFrame(QUERIES, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    return (
+        bm25_topk(q, tf, d, dl, cs["avgdl"], k=k)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+
+
+def test_rank_identical_vs_numpy_oracle(spark, docs_df):
+    got = _engine_topk(spark, docs_df)
+    texts = {r.doc_id: r.text for r in docs_df.collect()}
+    want = numpy_bm25_oracle(texts, QUERIES)
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["rank"]) == list(want["rank"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_oov_query_returns_nothing(spark, docs_df):
+    got = _engine_topk(spark, docs_df)
+    assert (got["query_id"] == 3).sum() == 0
