@@ -1,0 +1,153 @@
+"""Checkpointed, resumable index-build pipeline (mode-2 orchestration).
+
+The reference's stages are file-granular and restartable by re-running a
+mode (train -> index -> search, each reading the previous stage's files).
+Ours checkpoints every stage as a parquet dataset plus a manifest entry with
+lineage and metrics; ``resume=True`` re-enters a half-built index at the
+first incomplete stage (north_rule requirement).
+
+Stages::
+
+    00_doc_map   doc_id assignment over (conv_id, turn_idx)    [nl analog]
+    01_tf        (doc_id, term, tf) + (doc_id, dl)             [entry log analog]
+    02_dict      term dictionary + corpus meta                 [codebook analog]
+    03_segment   posting blocks + metrics                      [idx/voc_sz analog]
+
+Each manifest entry records wall seconds, row counts, and the skew ratio of
+the stage's output partitions (max/mean rows per partition) — the scaled-up
+version of the reference's stage-boundary debug dumps (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ivfadc_spark.config import DEFAULT, EngineConfig
+from ivfadc_spark.operators import stats as S
+from ivfadc_spark.operators.postings import block_metrics, build_blocks, salted_tf
+from ivfadc_spark.operators.segments import Segment, write_segment
+from ivfadc_spark.sources.transcripts import assign_doc_ids, doc_map
+
+
+def _manifest_path(out: str) -> str:
+    return os.path.join(out, "_manifest.json")
+
+
+def _load_manifest(out: str) -> dict:
+    p = _manifest_path(out)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"stages": {}}
+
+
+def _save_manifest(out: str, m: dict) -> None:
+    os.makedirs(out, exist_ok=True)
+    with open(_manifest_path(out), "w") as f:
+        json.dump(m, f, indent=2)
+
+
+def _skew_ratio(df: DataFrame) -> float:
+    """max/mean rows per partition of the final plan — straggler indicator."""
+    sizes = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+    return float(sizes["mx"] / sizes["mean"]) if sizes["mean"] else 1.0
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out: str,
+    cfg: EngineConfig = DEFAULT,
+    resume: bool = False,
+    lineage: dict | None = None,
+    measure_skew: bool = False,
+) -> Segment:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> segment at ``out``."""
+    m = _load_manifest(out) if resume else {"stages": {}}
+    done = m["stages"]
+
+    def stage(name: str):
+        return resume and done.get(name, {}).get("complete", False)
+
+    def record(name: str, t0: float, **extra):
+        done[name] = {"complete": True, "wall_s": round(time.time() - t0, 3), **extra}
+        m["lineage"] = lineage or {}
+        m["config"] = json.loads(cfg.to_json())
+        _save_manifest(out, m)
+
+    p_docmap = os.path.join(out, "00_doc_map")
+    p_tf = os.path.join(out, "01_tf")
+    p_dl = os.path.join(out, "01_dl")
+    p_dict = os.path.join(out, "02_dict")
+    p_seg = os.path.join(out, "segment")
+
+    if not stage("00_doc_map"):
+        t0 = time.time()
+        with_ids = assign_doc_ids(transcripts)
+        dm = doc_map(with_ids)
+        docs = with_ids.select("doc_id", F.col("text"))
+        dm.write.mode("overwrite").parquet(p_docmap)
+        docs.write.mode("overwrite").parquet(os.path.join(out, "00_docs"))
+        with_ids.unpersist()
+        record("00_doc_map", t0, rows=spark.read.parquet(p_docmap).count())
+    docs = spark.read.parquet(os.path.join(out, "00_docs"))
+
+    if not stage("01_tf"):
+        t0 = time.time()
+        S.term_frequencies(docs).write.mode("overwrite").parquet(p_tf)
+        S.doc_lengths(docs).write.mode("overwrite").parquet(p_dl)
+        extra = {"rows": spark.read.parquet(p_tf).count()}
+        if measure_skew:
+            extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_tf))
+        record("01_tf", t0, **extra)
+    tf = spark.read.parquet(p_tf)
+    dl = spark.read.parquet(p_dl)
+
+    if not stage("02_dict"):
+        t0 = time.time()
+        cs = S.corpus_stats(dl)
+        S.dictionary(tf, cs["n_docs"]).write.mode("overwrite").parquet(p_dict)
+        record("02_dict", t0, **cs)
+    cs = {k: done["02_dict"][k] for k in ("n_docs", "avgdl")}
+    dictionary = spark.read.parquet(p_dict)
+
+    if not stage("03_segment"):
+        t0 = time.time()
+        salted = salted_tf(tf, dl, dictionary, cfg)
+        blocks = build_blocks(salted, cs["avgdl"], cfg)
+        write_segment(
+            p_seg,
+            blocks,
+            spark.read.parquet(p_docmap),
+            dictionary,
+            block_metrics(blocks),
+            cs["n_docs"],
+            cs["avgdl"],
+            lineage=lineage,
+            cfg=cfg,
+        )
+        seg = Segment(spark, p_seg)
+        met = seg.metrics.agg(
+            F.sum("postings").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.max("postings").alias("max_term_postings"),
+        ).collect()[0]
+        record(
+            "03_segment",
+            t0,
+            postings=int(met["postings"]),
+            bytes=int(met["bytes"]),
+            postings_per_sec=round(int(met["postings"]) / max(time.time() - t0, 1e-9), 1),
+        )
+    return Segment(spark, p_seg)

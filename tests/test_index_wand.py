@@ -1,0 +1,159 @@
+"""Compressed segment path: codec round-trip through Spark, WAND
+rank-identity vs the pure-DataFrame path, salted == unsalted postings,
+segment merge equivalence (U1), and checkpoint resume."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from ivfadc_spark.config import EngineConfig
+from ivfadc_spark.operators import stats as S
+from ivfadc_spark.operators.postings import (
+    block_metrics,
+    build_blocks,
+    decode_blocks,
+    salted_tf,
+)
+from ivfadc_spark.operators.query import bm25_topk
+from ivfadc_spark.operators.segments import Segment, merge_segments, write_segment
+from ivfadc_spark.operators.wand import bm25_topk_indexed
+from ivfadc_spark.plans.build_index import build_index
+from ivfadc_spark.sources.transcripts import synth_transcripts
+
+QUERIES = [
+    (0, "term000 term003 term017"),
+    (1, "headterm"),
+    (2, "term001 headterm term042 term120"),
+    (3, "no-such-term"),
+    (4, "term199"),
+    (5, "headterm term000"),  # head term + head term: stress pruning
+]
+
+# tiny thresholds so the salting path actually runs on the fixture
+CFG = EngineConfig(block_size=16, salt_df_threshold=100, max_salts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    tx = synth_transcripts(spark, n_conversations=80)
+    seg = build_index(spark, tx, out, cfg=CFG)
+    return tx, seg, out
+
+
+def _queries_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(QUERIES, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+
+
+def _df_path_topk(spark, seg, k=10):
+    """Reference result from the pure-DataFrame path over decoded postings."""
+    dec = decode_blocks(seg.blocks)
+    tf = dec.select("doc_id", "term", "tf")
+    dl = dec.select("doc_id", "dl").distinct()
+    return (
+        bm25_topk(_queries_df(spark), tf, seg.dictionary, dl, seg.meta["avgdl"], k=k, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+
+
+def test_block_roundtrip(spark, corpus):
+    tx, seg, out = corpus
+    docs = spark.read.parquet(os.path.join(out, "00_docs"))
+    tf = S.term_frequencies(docs).select("term", "doc_id", "tf")
+    dec = decode_blocks(seg.blocks).select("term", "doc_id", "tf")
+    a = tf.orderBy("term", "doc_id").toPandas()
+    b = dec.orderBy("term", "doc_id").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_salting_applied_and_equivalent(spark, corpus):
+    tx, seg, out = corpus
+    # head term must be split across salts; singleton terms must not
+    met = seg.metrics.toPandas().set_index("term")
+    assert met.loc["headterm", "n_salts"] > 1
+    assert (met[met["postings"] == 1]["n_salts"] == 1).all()
+    # unsalted rebuild produces identical decoded postings
+    docs = spark.read.parquet(os.path.join(out, "00_docs"))
+    tf, dl = S.term_frequencies(docs), S.doc_lengths(docs)
+    cs = S.corpus_stats(dl)
+    d = S.dictionary(tf, cs["n_docs"])
+    no_salt = EngineConfig(block_size=16, salt_df_threshold=10**9)
+    blocks2 = build_blocks(salted_tf(tf, dl, d, no_salt), cs["avgdl"], no_salt)
+    a = decode_blocks(seg.blocks).orderBy("term", "doc_id").toPandas()
+    b = decode_blocks(blocks2).orderBy("term", "doc_id").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_wand_rank_identical_to_dataframe_path(spark, corpus):
+    tx, seg, out = corpus
+    want = _df_path_topk(spark, seg)
+    got = (
+        bm25_topk_indexed(_queries_df(spark), seg, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    import numpy as np
+
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_merge_equals_single_build(spark, corpus, tmp_path):
+    """Index built in two halves then merged ≡ single build (FIXTURES §5 U1)."""
+    tx, seg, out = corpus
+    half_a = tx.filter("conv_id < 'conv-000040'")
+    half_b = tx.filter("conv_id >= 'conv-000040'")
+    seg_a = build_index(spark, half_a, str(tmp_path / "a"), cfg=CFG)
+    seg_b = build_index(spark, half_b, str(tmp_path / "b"), cfg=CFG)
+    merged = merge_segments(spark, [seg_a.path, seg_b.path], str(tmp_path / "m"), cfg=CFG)
+    assert merged.meta["n_docs"] == seg.meta["n_docs"]
+    assert abs(merged.meta["avgdl"] - seg.meta["avgdl"]) < 1e-9
+    # conv_id ordering == doc_id ordering, and half_a convs sort first, so
+    # offset-remapped merged docIDs coincide with the single-build docIDs.
+    a = decode_blocks(seg.blocks).orderBy("term", "doc_id").toPandas()
+    b = decode_blocks(merged.blocks).orderBy("term", "doc_id").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    # and the merged segment answers queries identically
+    want = _df_path_topk(spark, seg)
+    got = (
+        bm25_topk_indexed(_queries_df(spark), merged, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+
+
+def test_resume_skips_completed_stages(spark, corpus):
+    tx, seg, out = corpus
+    import json
+    import time
+
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert all(man["stages"][s]["complete"] for s in man["stages"])
+    t0 = time.time()
+    seg2 = build_index(spark, tx, out, cfg=CFG, resume=True)
+    assert time.time() - t0 < 5.0  # all stages skipped: no Spark jobs
+    assert seg2.meta["n_docs"] == seg.meta["n_docs"]
+
+
+def test_doc_map_and_text_invariant(spark, corpus):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the input_hint invariant."""
+    tx, seg, out = corpus
+    dm = seg.doc_map.orderBy("doc_id").toPandas()
+    src = tx.orderBy("conv_id", "turn_idx").toPandas()
+    assert list(dm["conv_id"]) == list(src["conv_id"])
+    assert list(dm["turn_idx"]) == list(src["turn_idx"])
+    # doc ids dense 0..N-1
+    assert list(dm["doc_id"]) == list(range(len(dm)))
+    # reconstructing text through the docs checkpoint is byte-identical
+    docs = (
+        spark.read.parquet(os.path.join(out, "00_docs")).orderBy("doc_id").toPandas()
+    )
+    assert list(docs["text"]) == list(src["text"])
