@@ -1,0 +1,811 @@
+"""Driver-contract queries: one entry per SURVEY.md §2 operator family.
+
+Each ``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``; each
+``ORACLES[name]`` is ANSI SQL that DuckDB runs over the same parquet views.
+Column names/types are aligned on both sides; floats are rounded so that
+engine-order-dependent float64 summation (~1e-15) cannot flip the value
+hash. Tie-breaks are always total orders.
+
+Spark/DuckDB parity primitives (verified):
+- tokenizer: Spark ``split(lower(x),'[^a-z0-9]+')``+remove '' ==
+  DuckDB ``list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), ...)``
+- md5 hex strings identical
+- ``conv(substr(md5,1,15),16,10)`` == ``CAST('0x'||substr(md5,1,15) AS BIGINT)``
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ivfadc_spark.config import DEFAULT, EngineConfig
+from ivfadc_spark.functions.tokenize import duckdb_tokens_sql, tokens_col
+from ivfadc_spark.operators import stats as S
+from ivfadc_spark.operators.query import bm25_topk
+
+K1, B = DEFAULT.k1, DEFAULT.b
+
+# ---------------------------------------------------------------- fixtures
+
+# reference query set for the flagship BM25 checks (terms from the testdata
+# documents vocabulary + pure-OOV query 5)
+QUERYSET = [
+    (0, "table scan merge"),
+    (1, "spark query plan"),
+    (2, "the fast key order"),
+    (3, "join window stream row"),
+    (4, "customer data filter"),
+    (5, "qqqqq zzzzz"),
+    (6, "group"),
+    (7, "sort merge join group agg window"),
+]
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        pd.DataFrame(QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+
+
+def _values_sql() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in QUERYSET)
+
+
+_TOK = duckdb_tokens_sql("text")
+
+# shared DuckDB CTE prelude: tokenized documents + BM25 ingredients
+_BM25_CTES = f"""
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+
+_BM25_TOPK_SQL = f"""
+WITH queries(query_id, text) AS (VALUES {{values}}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _bm25_inputs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = S.term_frequencies(docs)
+    dl = S.doc_lengths(docs)
+    cs = S.corpus_stats(dl)
+    d = S.dictionary(tf, cs["n_docs"])
+    return docs, tf, dl, cs, d
+
+
+# ------------------------------------------------------------ fulltext core
+
+
+def q_tf(spark, sf_dir):
+    """A6: term frequency — the graft's central aggregation."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return S.term_frequencies(docs).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def q_dictionary(spark, sf_dir):
+    """A3/A4: df + cf + BM25 idf per term (voc_sz + idf_task analog)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = S.term_frequencies(docs)
+    n = docs.count()
+    return S.dictionary(tf, n).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round("idf", 9).alias("idf"),
+    )
+
+
+def q_doc_lengths(spark, sf_dir):
+    """A5: per-doc token count (BM25 doc norm)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return S.doc_lengths(docs).select("doc_id", F.col("dl").alias("dl"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """A7: global N + avgdl."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = S.doc_lengths(docs)
+    return dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+def q_bm25_df(spark, sf_dir):
+    """Flagship T1+J1: top-10 BM25, pure-DataFrame path."""
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    res = bm25_topk(_queries_df(spark), tf, d, dl, cs["avgdl"], k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_wand(spark, sf_dir):
+    """Flagship through the FULL engine: documents -> transcripts shape ->
+    checkpointed index build -> compressed segment -> block-max WAND scan.
+    Oracle = the same brute-force BM25 SQL (strongest correctness claim)."""
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+    from ivfadc_spark.plans.build_index import build_index
+    from ivfadc_spark.sources.transcripts import transcripts_from_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tx = transcripts_from_documents(docs)
+    out = tempfile.mkdtemp(prefix="ivfadc_seg_")
+    seg = build_index(spark, tx, out, cfg=EngineConfig(block_size=64, salt_df_threshold=200, max_salts=4))
+    res = bm25_topk_indexed(_queries_df(spark), seg, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_doc_map_join(spark, sf_dir):
+    """J3: top-k ranks re-joined to (conv_id, turn_idx) via doc_map."""
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+    from ivfadc_spark.plans.build_index import build_index
+    from ivfadc_spark.sources.transcripts import transcripts_from_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tx = transcripts_from_documents(docs)
+    out = tempfile.mkdtemp(prefix="ivfadc_seg_")
+    seg = build_index(spark, tx, out)
+    res = bm25_topk_indexed(_queries_df(spark), seg, k=10)
+    return (
+        res.join(seg.doc_map, "doc_id")
+        .select("query_id", "rank", "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"))
+    )
+
+
+def q_segment_union(spark, sf_dir):
+    """U1-shape: df per term from two half-corpus builds unioned == whole."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    a = S.term_frequencies(docs.filter(F.col("doc_id") <= half))
+    b = S.term_frequencies(docs.filter(F.col("doc_id") > half))
+    return (
+        a.unionByName(b)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf"))
+    )
+
+
+def q_topk_docs_per_term(spark, sf_dir):
+    """T1 window form: top-3 docs by tf per term, ties by doc_id."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = S.term_frequencies(docs)
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("term", F.col("rank").cast("int").alias("rank"), "doc_id",
+                F.col("tf").cast("long").alias("tf"))
+    )
+
+
+# --------------------------------------------------------------- relational
+
+
+def q_lineitem_agg(spark, sf_dir):
+    """A1/A2 analog — TPC-H Q1-shaped groupBy aggregate."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            # revenue reported in k$ rounded to integer: engine-order float64
+            # summation differs ~1e-4 absolute at this magnitude; /1000 + round
+            # keeps the value hash stable without decimal casts
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1000.0, 0).alias("revenue_k"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q_revenue_per_nation(spark, sf_dir):
+    """J3 chain with broadcast dims: orders x customer x nation x region."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+             F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """T1 window: 3 biggest orders per customer."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", F.col("rank").cast("int").alias("rank"),
+                "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+def q_filter_scan_limit(spark, sf_dir):
+    """P4/O4: pushed-down filter + deterministic ORDER BY + LIMIT."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """F1-F5/P7 scalar functions over part."""
+    p = _read(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.element_at(F.split(F.col("p_type"), " "), 1).alias("type_head"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand5"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+    )
+
+
+def q_sample_systematic(spark, sf_dir):
+    """S6 sampling made deterministic: systematic doc_id % 20 == 0."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "n_chars")
+
+
+# ------------------------------------------------------------------- events
+
+
+def q_events_hourly(spark, sf_dir):
+    """Windowed aggregation (batch form of the streaming tumbling window)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session (window fns)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"),
+             F.count("*").cast("long").alias("n_events"))
+    )
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def q_exact_dup(spark, sf_dir):
+    """Exact dedup: md5 fingerprint of normalized text, group count."""
+    docs = _read(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", tokens_col("text")))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").cast("long").alias("n"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+def q_minhash(spark, sf_dir):
+    """MinHash signatures: min(md5(seed||token)) over distinct tokens, 4 seeds."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("term")))).alias(f"h{i}")
+        for i in range(4)
+    ]
+    return t.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """LSH band join: doc pairs agreeing on the full 4-hash signature."""
+    sig = q_minhash(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    cond = (
+        (F.col("a.h0") == F.col("b.h0")) & (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2")) & (F.col("a.h3") == F.col("b.h3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+
+
+_SIMHASH_BITS = 24
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash over distinct tokens; md5-derived 24-bit token hashes."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+    h = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+    t = t.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(2 * F.shiftright(F.col("h"), i).bitwiseAND(1) - 1).alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    per_doc = t.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") >= 0, 2**i).otherwise(0)
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-trigram Jaccard near-dup pairs (>= 0.2), shingle-join bucketed."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        docs.withColumn("tokens", tokens_col("text"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(tokens)-2, 0)), "
+                        "i -> concat(element_at(tokens,i),' ',element_at(tokens,i+1),' ',element_at(tokens,i+2)))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: stopword-token ratio."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ratio = sw / F.greatest(F.size(toks), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio > 0.05, "en").otherwise("unk").alias("lang"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, digit ratio."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    chars = F.greatest(F.length("text"), F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_token_len"),
+        F.round(digits / chars, 6).alias("digit_ratio"),
+        F.round(
+            F.least(n_tok / 100.0, F.lit(1.0)) * (1.0 - digits / chars), 6
+        ).alias("quality"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish token counting: words + punctuation marks via regex."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _cosine_cols():
+    """dot/norm expressions over double-cast arrays a, b (same op order in
+    DuckDB's list_dot_product -> identical float64 results; rounded anyway)."""
+    dot = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate("a", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("b", F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def q_knn_brute(spark, sf_dir):
+    """ANN baseline: brute-force cosine top-10 for query vectors vec_id<5."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("a")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("b"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "cand_id", "cosine")
+    )
+
+
+def q_knn_lsh(spark, sf_dir):
+    """ANN scale path: sign-LSH bucket (first 8 dims) probe, top-5 in-bucket.
+
+    The IVF analog: bucket = coarse cell; probing one bucket = ma=1."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at("v", i + 1) >= 0, 2**i).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket.cast("int"))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("a"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "bucket")
+    pairs = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "cand_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _sql_tokens(col="text"):
+    return duckdb_tokens_sql(col)
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["fulltext_tf"] = f"""
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+) GROUP BY doc_id, term
+"""
+
+ORACLES["fulltext_dictionary"] = f"""
+WITH {_BM25_CTES}
+SELECT term, df::BIGINT AS df, cf::BIGINT AS cf,
+       round(ln((stats.n - df + 0.5)/(df + 0.5) + 1.0), 9) AS idf
+FROM (SELECT term, count(*)::DOUBLE AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term), stats
+"""
+
+ORACLES["fulltext_doc_lengths"] = f"""
+SELECT doc_id, count(*)::BIGINT AS dl FROM (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+) GROUP BY doc_id
+"""
+
+ORACLES["fulltext_corpus_stats"] = f"""
+WITH {_BM25_CTES}
+SELECT n::BIGINT AS n_docs, round(avgdl, 6) AS avgdl FROM stats
+"""
+
+ORACLES["bm25_topk_dataframe"] = _BM25_TOPK_SQL.format(values=_values_sql())
+ORACLES["bm25_topk_wand"] = _BM25_TOPK_SQL.format(values=_values_sql())
+
+ORACLES["doc_map_topk_join"] = f"""
+WITH base AS ({_BM25_TOPK_SQL.format(values=_values_sql())})
+SELECT query_id, rank, format('conv-{{:06d}}', (doc_id // 8)::BIGINT) AS conv_id,
+       (doc_id % 8)::INT AS turn_idx
+FROM base
+"""
+
+ORACLES["segment_union_df"] = f"""
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOK}) AS term FROM documents
+  ) GROUP BY doc_id, term
+) GROUP BY term
+"""
+
+ORACLES["topk_docs_per_term"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({_TOK}) AS term FROM documents
+  ) GROUP BY doc_id, term
+)
+SELECT term, rank::INT AS rank, doc_id, tf FROM (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+  FROM tf
+) WHERE rank <= 3
+"""
+
+ORACLES["lineitem_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 0) AS revenue_k,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["revenue_per_nation"] = """
+SELECT r_name, n_name, round(sum(o_totalprice), 0) AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+ORACLES["topk_orders_per_customer"] = """
+SELECT o_custkey, rank::INT AS rank, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+ORACLES["filter_scan_limit"] = """
+SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+"""
+
+ORACLES["string_funcs"] = """
+SELECT p_partkey, lower(p_name) AS name_lower, length(p_name)::BIGINT AS name_len,
+       string_split(p_type, ' ')[1] AS type_head,
+       substr(p_brand, 1, 5) AS brand5,
+       starts_with(p_name, 'a') AS starts_a
+FROM part
+"""
+
+ORACLES["sample_systematic"] = """
+SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0
+"""
+
+ORACLES["events_hourly"] = """
+SELECT date_trunc('hour', ts)::VARCHAR AS window_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["sessionize"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id
+"""
+
+ORACLES["exact_dup"] = f"""
+SELECT md5(array_to_string({_TOK}, ' ')) AS fingerprint,
+       count(*)::BIGINT AS n, min(doc_id) AS min_doc
+FROM documents GROUP BY 1
+"""
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5('s{i}|' || term)) AS h{i}" for i in range(4)
+)
+ORACLES["minhash_signatures"] = f"""
+SELECT doc_id, {_MINHASH_COLS} FROM (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
+) GROUP BY doc_id
+"""
+
+ORACLES["minhash_pairs"] = f"""
+WITH sig AS (
+  SELECT doc_id, {_MINHASH_COLS} FROM (
+    SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
+  ) GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+ AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(2 * ((h >> {i}) & 1) - 1) AS b{i}" for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN b{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+ORACLES["simhash"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM (
+    SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
+  )
+), s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM t GROUP BY doc_id)
+SELECT doc_id, ({_SIMHASH_VAL})::BIGINT AS simhash FROM s
+"""
+
+ORACLES["ngram_jaccard"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, greatest(length(t) - 2, 0)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  ) AS shingle FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.2
+"""
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLES["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+SELECT doc_id,
+       round(length(list_filter(toks, x -> x IN ({_SW})))
+             / greatest(length(toks), 1), 6) AS stopword_ratio,
+       CASE WHEN length(list_filter(toks, x -> x IN ({_SW})))
+                 / greatest(length(toks), 1) > 0.05
+            THEN 'en' ELSE 'unk' END AS lang
+FROM t
+"""
+
+ORACLES["quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+SELECT doc_id,
+       length(toks)::BIGINT AS n_tokens,
+       round(list_sum(list_transform(toks, x -> length(x)))
+             / greatest(length(toks), 1), 6) AS mean_token_len,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / greatest(length(text), 1), 6) AS digit_ratio,
+       round(least(length(toks) / 100.0, 1.0)
+             * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      / greatest(length(text), 1)), 6) AS quality
+FROM t
+"""
+
+ORACLES["token_count"] = r"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+_COS = (
+    "round(list_dot_product(a, b) / "
+    "(sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b))), 6)"
+)
+ORACLES["knn_brute_cosine"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS a FROM e WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, v AS b FROM e),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS cosine
+  FROM q, c WHERE query_id <> cand_id
+)
+SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(8)
+)
+ORACLES["knn_lsh_bucketed"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({_BUCKET})::INT AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS a, bucket FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, v AS b, bucket FROM e),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS cosine
+  FROM q JOIN c USING(bucket) WHERE query_id <> cand_id
+)
+SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES = {
+    "fulltext_tf": q_tf,
+    "fulltext_dictionary": q_dictionary,
+    "fulltext_doc_lengths": q_doc_lengths,
+    "fulltext_corpus_stats": q_corpus_stats,
+    "bm25_topk_dataframe": q_bm25_df,
+    "bm25_topk_wand": q_bm25_wand,
+    "doc_map_topk_join": q_doc_map_join,
+    "segment_union_df": q_segment_union,
+    "topk_docs_per_term": q_topk_docs_per_term,
+    "lineitem_agg": q_lineitem_agg,
+    "revenue_per_nation": q_revenue_per_nation,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "filter_scan_limit": q_filter_scan_limit,
+    "string_funcs": q_string_funcs,
+    "sample_systematic": q_sample_systematic,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "exact_dup": q_exact_dup,
+    "minhash_signatures": q_minhash,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_count": q_token_count,
+    "knn_brute_cosine": q_knn_brute,
+    "knn_lsh_bucketed": q_knn_lsh,
+}
