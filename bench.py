@@ -1,0 +1,112 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workload (the north-star pipeline):
+  - index_build:      transcripts -> checkpointed compressed segment (turns/sec)
+  - bm25_query_batch: 200-query top-10 batch via block-max WAND (QPS)
+  - bm25_df_documents: flagship DataFrame BM25 over the documents table
+  - lineitem_agg / revenue_per_nation / minhash_signatures: relational +
+    dedup representatives
+
+Extra keys (turns_per_sec, qps, n_turns, master) are informational; the
+scaling-efficiency protocol (BASELINE.md) runs this same script at local[8]
+and local[32] via tools/run_scaling.sh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import pandas as pd
+
+    from ivfadc_spark.config import EngineConfig
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+    from ivfadc_spark.plans import driver_queries as DQ
+    from ivfadc_spark.plans.build_index import build_index
+    from ivfadc_spark.session import get_spark
+    from ivfadc_spark.sources.transcripts import synth_transcripts_fast_pdf
+
+    spark = get_spark("ivfadc-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    timings: dict[str, float] = {}
+    extra: dict = {"master": f"local[{cpus}]"}
+
+    # ---- corpus: deterministic synthetic transcripts scaled by sf
+    n_conv = max(200, int(20_000 * sf / 0.1))
+    pdf = synth_transcripts_fast_pdf(n_conversations=n_conv, seed=42)
+    n_turns = len(pdf)
+    extra["n_turns"] = n_turns
+    tx = spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    tx.write.mode("overwrite").parquet(os.path.join(tempfile.gettempdir(), "bench_tx.parquet"))
+    tx = spark.read.parquet(os.path.join(tempfile.gettempdir(), "bench_tx.parquet"))
+
+    # ---- index build (cold, checkpointed)
+    out = tempfile.mkdtemp(prefix="ivfadc_bench_idx_")
+    cfg = EngineConfig(block_size=256, salt_df_threshold=100_000, max_salts=16)
+    t0 = time.time()
+    seg = build_index(spark, tx, out, cfg=cfg)
+    seg.blocks.count()  # materialize
+    timings["index_build"] = round(time.time() - t0, 3)
+    extra["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
+
+    # ---- query batch: 200 seeded multi-term queries via WAND
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:05d}" for i in range(2000)]
+    qtexts = [
+        " ".join(rng.choice(vocab[: int(2000 * 0.8)], size=rng.integers(1, 5)))
+        for _ in range(200)
+    ]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": range(200), "text": qtexts}),
+        schema="query_id long, text string",
+    )
+    _ = bm25_topk_indexed(qdf.limit(8), seg, k=10).collect()  # warm-up
+    t0 = time.time()
+    res = bm25_topk_indexed(qdf, seg, k=10).collect()
+    timings["bm25_query_batch"] = round(time.time() - t0, 3)
+    extra["qps"] = round(200 / timings["bm25_query_batch"], 1)
+    extra["result_rows"] = len(res)
+
+    # ---- representatives from the driver contract
+    for name in ("bm25_topk_dataframe", "lineitem_agg", "revenue_per_nation", "minhash_signatures"):
+        fn = DQ.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(out, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

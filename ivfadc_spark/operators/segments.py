@@ -65,7 +65,7 @@ def write_segment(
     blocks: DataFrame,
     doc_map: DataFrame,
     dictionary: DataFrame,
-    metrics: DataFrame,
+    metrics: DataFrame | None,
     n_docs: int,
     avgdl: float,
     doc_base: int = 0,
@@ -87,6 +87,14 @@ def write_segment(
     )
     doc_map.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
     dictionary.write.mode("overwrite").parquet(os.path.join(path, "dict"))
+    if metrics is None:
+        # compute from the just-written blocks, not the unmaterialized plan —
+        # avoids running the whole encode stage a second time
+        from ivfadc_spark.operators.postings import block_metrics
+
+        metrics = block_metrics(
+            blocks.sparkSession.read.parquet(os.path.join(path, "blocks"))
+        )
     metrics.write.mode("overwrite").parquet(os.path.join(path, "metrics"))
     meta = {
         "n_docs": int(n_docs),
@@ -119,7 +127,7 @@ def merge_segments(
         offsets.append(acc)
         acc += s.meta["n_docs"]
 
-    from ivfadc_spark.operators.postings import block_metrics, salted_tf
+    from ivfadc_spark.operators.postings import salted_tf
 
     tf_parts, dm_parts, tot_len = [], [], 0.0
     for s, off in zip(segs, offsets):
@@ -156,7 +164,7 @@ def merge_segments(
         blocks,
         dm_all,
         merged_dict,
-        block_metrics(blocks),
+        None,
         n_docs,
         avgdl,
         doc_base=0,

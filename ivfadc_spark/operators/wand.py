@@ -142,24 +142,23 @@ def bm25_topk_indexed(
     k1, b = float(cfg.k1), float(cfg.b)
     avgdl = float(segment.meta["avgdl"])
 
-    qt = query_terms(queries)
-    qt = qt.join(segment.dictionary.select("term", "idf"), "term")  # drops OOV
-    qt_rows = qt.collect()  # queries x terms: tiny by construction
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+    qt = (
+        query_terms(queries)
+        .join(segment.dictionary.select("term", "idf"), "term")  # drops OOV
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    qt_rows = qt.collect()  # queries x terms: tiny by construction; ONE job
     if not qt_rows:
         return segment.spark.createDataFrame([], RESULT_SCHEMA)
-    terms = sorted({r["term"] for r in qt_rows})
     spark = segment.spark
-    qt_df = F.broadcast(spark.createDataFrame(qt_rows))
-
-    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
-    bucket_of = {
-        r["term"]: r["b"]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
-        .collect()
-    }
+    terms = sorted({r["term"] for r in qt_rows})
+    buckets = sorted({r["term_bucket"] for r in qt_rows})
+    qt_df = F.broadcast(
+        spark.createDataFrame(qt_rows).select("term", "query_id", "idf")
+    )
     blocks = segment.blocks.filter(
-        F.col("term_bucket").isin(sorted(set(bucket_of.values())))  # partition prune
+        F.col("term_bucket").isin(buckets)  # partition prune
         & F.col("term").isin(terms)  # row-group prune (min/max stats)
     )
     cand = blocks.join(qt_df, "term")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ivfadc_spark.config import DEFAULT, EngineConfig
 from ivfadc_spark.operators import stats as S
-from ivfadc_spark.operators.postings import block_metrics, build_blocks, salted_tf
+from ivfadc_spark.operators.postings import build_blocks, salted_tf
 from ivfadc_spark.operators.segments import Segment, write_segment
 from ivfadc_spark.sources.transcripts import assign_doc_ids, doc_map
 
@@ -50,6 +50,17 @@ def _save_manifest(out: str, m: dict) -> None:
     os.makedirs(out, exist_ok=True)
     with open(_manifest_path(out), "w") as f:
         json.dump(m, f, indent=2)
+
+
+def _ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Checkpoint datasets are small at test scale, so parquet reads coalesce
+    to ~1 input split (maxPartitionBytes) and starve the 32 cores. Re-spread
+    when under-partitioned; at production scale the files exceed the split
+    size and this is a no-op."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
 
 
 def _skew_ratio(df: DataFrame) -> float:
@@ -101,17 +112,26 @@ def build_index(
         docs.write.mode("overwrite").parquet(os.path.join(out, "00_docs"))
         with_ids.unpersist()
         record("00_doc_map", t0, rows=spark.read.parquet(p_docmap).count())
-    docs = spark.read.parquet(os.path.join(out, "00_docs"))
+    docs = _ensure_parallelism(spark.read.parquet(os.path.join(out, "00_docs")), spark)
 
     if not stage("01_tf"):
         t0 = time.time()
         S.term_frequencies(docs).write.mode("overwrite").parquet(p_tf)
-        S.doc_lengths(docs).write.mode("overwrite").parquet(p_dl)
+        # dl = Σtf per doc: derived from the written tf, no second tokenize
+        # pass (empty docs carry no postings, so they need no dl either; N
+        # and avgdl follow the same convention as the DuckDB oracle)
+        (
+            spark.read.parquet(p_tf)
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("dl"))
+            .write.mode("overwrite")
+            .parquet(p_dl)
+        )
         extra = {"rows": spark.read.parquet(p_tf).count()}
         if measure_skew:
             extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_tf))
         record("01_tf", t0, **extra)
-    tf = spark.read.parquet(p_tf)
+    tf = _ensure_parallelism(spark.read.parquet(p_tf), spark)
     dl = spark.read.parquet(p_dl)
 
     if not stage("02_dict"):
@@ -131,7 +151,7 @@ def build_index(
             blocks,
             spark.read.parquet(p_docmap),
             dictionary,
-            block_metrics(blocks),
+            None,
             cs["n_docs"],
             cs["avgdl"],
             lineage=lineage,

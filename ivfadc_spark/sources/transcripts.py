@@ -88,6 +88,50 @@ def synth_transcripts(spark: SparkSession, n_conversations: int = 100, seed: int
     )
 
 
+def synth_transcripts_fast_pdf(
+    n_conversations: int = 10_000,
+    seed: int = 42,
+    vocab_size: int = 2_000,
+    mean_turns: int = 12,
+    mean_words: int = 20,
+) -> pd.DataFrame:
+    """Fully-vectorized generator for bench-scale corpora (same schema,
+    Zipfian vocabulary, deterministic). ~1M turns/sec to generate."""
+    rng = np.random.default_rng(seed)
+    turns_per_conv = rng.integers(3, 2 * mean_turns, size=n_conversations)
+    n_turns = int(turns_per_conv.sum())
+    conv_idx = np.repeat(np.arange(n_conversations), turns_per_conv)
+    turn_idx = np.concatenate([np.arange(t) for t in turns_per_conv]).astype(np.int32)
+
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    weights = (1.0 / ranks) / (1.0 / ranks).sum()
+    vocab = pd.array([f"w{i:05d}" for i in range(vocab_size)], dtype="string")
+
+    words_per_turn = rng.integers(3, 2 * mean_words, size=n_turns)
+    total_words = int(words_per_turn.sum())
+    word_ids = rng.choice(vocab_size, size=total_words, p=weights)
+    flat = pd.Series(np.asarray(vocab)[word_ids], dtype="string")
+    turn_of_word = np.repeat(np.arange(n_turns), words_per_turn)
+    texts = flat.groupby(turn_of_word).agg(" ".join)
+
+    roles = np.asarray(_ROLES)[turn_idx % 3]
+    conv_ids = pd.Series(conv_idx).map(lambda c: f"conv-{c:06d}")
+    ts = (
+        np.datetime64("2024-01-01T00:00:00")
+        + (conv_idx * 3600 + turn_idx * 30).astype("timedelta64[s]")
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": conv_ids.astype(str),
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": texts.astype(str).to_numpy(),
+            "tool": np.where(roles == "tool", "bash", ""),
+            "ts": ts,
+        }
+    )
+
+
 def transcripts_from_documents(docs: DataFrame) -> DataFrame:
     """Adapt the driver's ``documents`` table to the transcripts shape.
 
