@@ -42,7 +42,7 @@ BLOCKS_SCHEMA = (
 
 def salted_tf(
     tf: DataFrame,
-    dl: DataFrame,
+    dl: DataFrame | None,
     dictionary: DataFrame,
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
@@ -50,16 +50,22 @@ def salted_tf(
 
     n_salts(term) = min(max_salts, ceil(df / salt_df_threshold)) — 1 for the
     long tail (no extra shuffle fan-out), up to max_salts for head terms.
+
+    If ``tf`` already carries a ``dl`` column (the map-side fast path,
+    :func:`ivfadc_spark.operators.stats.term_frequencies_mapside`), pass
+    ``dl=None`` and the per-doc shuffle join is skipped entirely — the only
+    exchange left in the whole build is the repartition by (term, salt).
     """
     n_salts = F.least(
         F.lit(cfg.max_salts),
         F.ceil(F.col("df") / F.lit(cfg.salt_df_threshold)).cast("int"),
     )
     d = dictionary.select("term", F.greatest(n_salts, F.lit(1)).alias("n_salts"))
+    joined = tf.join(F.broadcast(d), "term")
+    if dl is not None and "dl" not in tf.columns:
+        joined = joined.join(dl, "doc_id")
     return (
-        tf.join(F.broadcast(d), "term")
-        .join(dl, "doc_id")
-        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"))
+        joined.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"))
         .select("term", "salt", "doc_id", "tf", "dl")
     )
 

@@ -156,8 +156,8 @@ def merge_segments(
         "idf",
         F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
     )
-    dl = tf_all.select("doc_id", "dl").distinct()
-    salted = salted_tf(tf_all.select("term", "doc_id", "tf"), dl, merged_dict, cfg)
+    # decoded rows already carry dl — no per-doc join needed (salted_tf dl=None path)
+    salted = salted_tf(tf_all, None, merged_dict, cfg)
     blocks = build_blocks(salted, avgdl, cfg)
     write_segment(
         out_path,

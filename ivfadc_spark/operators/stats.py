@@ -19,6 +19,7 @@ coarse codebook (/root/reference/Vocab.h:25-45).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +42,47 @@ def term_frequencies(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+
+
+def term_frequencies_mapside(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, dl) computed WITHOUT a shuffle.
+
+    tf is doc-local — every ``(doc_id, term)`` group lives inside the single
+    input row that carries the doc — so the explode+groupBy shuffle of
+    :func:`term_frequencies` is pure overhead (at 10^12 turns it is the
+    single largest exchange in the build: ~20T exploded token rows). This
+    variant counts tokens inside an Arrow batch with vectorized pandas
+    (split/explode/groupby — no per-row Python) and emits the aggregated
+    fact table map-side, carrying ``dl`` so downstream needs no dl join
+    either. Output rows are identical to ``term_frequencies(docs)`` joined
+    with ``doc_lengths(docs)``.
+    """
+    from ivfadc_spark.config import DEFAULT
+
+    pattern = DEFAULT.token_pattern
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf[text_col].fillna("").str.lower().str.split(pattern, regex=True)
+            flat = toks.explode()
+            flat = flat[flat.notna() & (flat != "")]
+            if len(flat) == 0:
+                continue
+            g = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].reindex(flat.index).to_numpy(),
+                    "term": flat.to_numpy(),
+                }
+            )
+            counts = g.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+            counts["dl"] = counts.groupby("doc_id", sort=False)["tf"].transform("sum")
+            yield counts[["doc_id", "term", "tf", "dl"]]
+
+    return docs.mapInPandas(gen, "doc_id long, term string, tf long, dl long")
 
 
 def doc_lengths(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -31,7 +31,7 @@ from ivfadc_spark.config import DEFAULT, EngineConfig
 from ivfadc_spark.operators import stats as S
 from ivfadc_spark.operators.postings import build_blocks, salted_tf
 from ivfadc_spark.operators.segments import Segment, write_segment
-from ivfadc_spark.sources.transcripts import assign_doc_ids, doc_map
+from ivfadc_spark.sources.transcripts import assign_doc_ids
 
 
 def _manifest_path(out: str) -> str:
@@ -97,42 +97,46 @@ def build_index(
         m["config"] = json.loads(cfg.to_json())
         _save_manifest(out, m)
 
-    p_docmap = os.path.join(out, "00_doc_map")
+    p_docs = os.path.join(out, "00_docs")
     p_tf = os.path.join(out, "01_tf")
-    p_dl = os.path.join(out, "01_dl")
     p_dict = os.path.join(out, "02_dict")
     p_seg = os.path.join(out, "segment")
 
     if not stage("00_doc_map"):
         t0 = time.time()
         with_ids = assign_doc_ids(transcripts)
-        dm = doc_map(with_ids)
-        docs = with_ids.select("doc_id", F.col("text"))
-        dm.write.mode("overwrite").parquet(p_docmap)
-        docs.write.mode("overwrite").parquet(os.path.join(out, "00_docs"))
+        # one write carries doc_map columns, text, AND dl (token count is a
+        # cheap JVM expression here; parquet column pruning makes the
+        # doc_map/dl reads below scan only what they need — no second pass)
+        from ivfadc_spark.functions.tokenize import tokens_col
+
+        (
+            with_ids.select(
+                "doc_id",
+                "conv_id",
+                "turn_idx",
+                "text",
+                F.size(tokens_col("text")).cast("long").alias("dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(p_docs)
+        )
         with_ids.unpersist()
-        record("00_doc_map", t0, rows=spark.read.parquet(p_docmap).count())
-    docs = _ensure_parallelism(spark.read.parquet(os.path.join(out, "00_docs")), spark)
+        record("00_doc_map", t0, rows=spark.read.parquet(p_docs).count())
+    docs_all = spark.read.parquet(p_docs)
+    docs = _ensure_parallelism(docs_all.select("doc_id", "text"), spark)
+    # empty docs carry no postings and (oracle convention) no dl
+    dl = docs_all.select("doc_id", "dl").filter(F.col("dl") > 0)
 
     if not stage("01_tf"):
         t0 = time.time()
-        S.term_frequencies(docs).write.mode("overwrite").parquet(p_tf)
-        # dl = Σtf per doc: derived from the written tf, no second tokenize
-        # pass (empty docs carry no postings, so they need no dl either; N
-        # and avgdl follow the same convention as the DuckDB oracle)
-        (
-            spark.read.parquet(p_tf)
-            .groupBy("doc_id")
-            .agg(F.sum("tf").cast("long").alias("dl"))
-            .write.mode("overwrite")
-            .parquet(p_dl)
-        )
+        # map-side tf+dl: no shuffle (tf is doc-local), no explode exchange
+        S.term_frequencies_mapside(docs).write.mode("overwrite").parquet(p_tf)
         extra = {"rows": spark.read.parquet(p_tf).count()}
         if measure_skew:
             extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_tf))
         record("01_tf", t0, **extra)
     tf = _ensure_parallelism(spark.read.parquet(p_tf), spark)
-    dl = spark.read.parquet(p_dl)
 
     if not stage("02_dict"):
         t0 = time.time()
@@ -144,12 +148,12 @@ def build_index(
 
     if not stage("03_segment"):
         t0 = time.time()
-        salted = salted_tf(tf, dl, dictionary, cfg)
+        salted = salted_tf(tf, None, dictionary, cfg)
         blocks = build_blocks(salted, cs["avgdl"], cfg)
         write_segment(
             p_seg,
             blocks,
-            spark.read.parquet(p_docmap),
+            docs_all.select("doc_id", "conv_id", "turn_idx"),
             dictionary,
             None,
             cs["n_docs"],

@@ -61,6 +61,30 @@ def _df_path_topk(spark, seg, k=10):
     )
 
 
+def test_mapside_tf_identical_to_explode_groupby(spark):
+    """term_frequencies_mapside (no shuffle) ≡ term_frequencies ⋈ doc_lengths."""
+    from ivfadc_spark.sources.transcripts import assign_doc_ids, synth_transcripts
+
+    docs = assign_doc_ids(synth_transcripts(spark, n_conversations=40)).select(
+        "doc_id", "text"
+    )
+    fast = (
+        S.term_frequencies_mapside(docs)
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        S.term_frequencies(docs)
+        .join(S.doc_lengths(docs), "doc_id")
+        .select("doc_id", "term", "tf", "dl")
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_block_roundtrip(spark, corpus):
     tx, seg, out = corpus
     docs = spark.read.parquet(os.path.join(out, "00_docs"))
