@@ -35,9 +35,18 @@ class EngineConfig:
 
     # skew handling (analog of the spin-locked hot-centroid files,
     # /root/reference/IO.h:503-522): a term with df > salt_df_threshold is
-    # split across up to max_salts sub-lists keyed by doc_id range.
+    # split across up to max_salts sub-lists keyed by hash(doc_id).
     salt_df_threshold: int = 50_000
     max_salts: int = 16
+
+    # doc-sharding for the batch query path: when > 0, EVERY posting list is
+    # split into doc_shards sub-lists keyed by hash(doc_id) % doc_shards
+    # (uniform — subsumes df-driven salting; head-term skew splits maximally
+    # by construction). Each shard is a complete sub-index over its doc
+    # subset, so a batch of queries fans out to shards once instead of
+    # copying posting blocks per query (the reference's process-level
+    # scatter, /root/reference/vk_word_complete/startup.py:31-42, X4).
+    doc_shards: int = 32
 
     # layout
     shuffle_partitions: int = 32

@@ -56,6 +56,17 @@ def salted_tf(
     ``dl=None`` and the per-doc shuffle join is skipped entirely — the only
     exchange left in the whole build is the repartition by (term, salt).
     """
+    if cfg.doc_shards > 0:
+        # uniform doc-hash sharding: every posting list splits doc_shards
+        # ways. Subsumes df-driven head-term salting (a head term is split
+        # maximally) and gives the batch query path complete per-shard
+        # sub-indexes. No dictionary join needed.
+        joined = tf
+        if dl is not None and "dl" not in tf.columns:
+            joined = joined.join(dl, "doc_id")
+        return joined.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.doc_shards)).cast("int")
+        ).select("term", "salt", "doc_id", "tf", "dl")
     n_salts = F.least(
         F.lit(cfg.max_salts),
         F.ceil(F.col("df") / F.lit(cfg.salt_df_threshold)).cast("int"),
@@ -74,47 +85,54 @@ def build_blocks(
     salted: DataFrame,
     avgdl: float,
     cfg: EngineConfig = DEFAULT,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """(term, salt) groups -> docID-sorted, delta+varint-encoded blocks."""
+    """(term, salt) groups -> docID-sorted, delta+varint-encoded blocks.
+
+    One hash repartition on (term, salt) then mapInPandas: each task encodes
+    EVERY group in its partition inside one pandas pass. (groupBy +
+    applyInPandas here pays per-group Arrow/invocation overhead — with
+    doc-sharding the group count is ~vocab x shards, and that overhead
+    dominates the encode itself.)
+    """
     k1, b, bsz = float(cfg.k1), float(cfg.b), int(cfg.block_size)
     avgdl_f = float(avgdl)
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
+    def encode_rows(term: str, salt: int, g: pd.DataFrame, rows: list) -> None:
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        tfs = g["tf"].to_numpy(np.int64)[order]
+        dls = g["dl"].to_numpy(np.int64)[order]
         impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
-        rows = []
         for blk_id, s in enumerate(range(0, len(ids), bsz)):
             e = min(s + bsz, len(ids))
             did, dtf, ddl = delta_encode(ids[s:e]), varint_encode(tfs[s:e]), varint_encode(dls[s:e])
             rows.append(
                 (
-                    term,
-                    salt,
-                    blk_id,
-                    e - s,
-                    int(ids[s]),
-                    int(ids[e - 1]),
-                    did,
-                    dtf,
-                    ddl,
-                    float(impact[s:e].max()),
+                    term, salt, blk_id, e - s, int(ids[s]), int(ids[e - 1]),
+                    did, dtf, ddl, float(impact[s:e].max()),
                     len(did) + len(dtf) + len(ddl),
                 )
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "salt", "block_id", "n", "first_doc", "last_doc",
-                "doc_ids", "tfs", "dls", "max_impact", "bytes",
-            ],
-        )
 
-    return salted.groupBy("term", "salt").applyInPandas(encode_group, BLOCKS_SCHEMA)
+    cols = [
+        "term", "salt", "block_id", "n", "first_doc", "last_doc",
+        "doc_ids", "tfs", "dls", "max_impact", "bytes",
+    ]
+
+    def encode_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows: list = []
+        for (term, salt), g in whole.groupby(["term", "salt"], sort=False):
+            encode_rows(term, int(salt), g, rows)
+        yield pd.DataFrame(rows, columns=cols)
+
+    n = num_partitions or salted.sparkSession.sparkContext.defaultParallelism * 2
+    return salted.repartition(n, "term", "salt").mapInPandas(encode_partition, BLOCKS_SCHEMA)
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:

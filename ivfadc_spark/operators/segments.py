@@ -59,6 +59,16 @@ class Segment:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "metrics"))
 
+    @property
+    def dict_pdf(self):
+        """Driver-cached pandas dictionary (term, df, cf, idf) — the resident
+        coarse-codebook analog (/root/reference/Vocab.cpp:152-166: codebooks
+        are always fully loaded). Used by the batch query broker to prep
+        query terms without a Spark round-trip; vocabulary-sized."""
+        if not hasattr(self, "_dict_pdf"):
+            self._dict_pdf = self.dictionary.toPandas()
+        return self._dict_pdf
+
 
 def write_segment(
     path: str,

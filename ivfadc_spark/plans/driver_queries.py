@@ -520,6 +520,93 @@ def q_knn_lsh(spark, sf_dir):
     )
 
 
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: polynomial rolling hash over the token stream
+    (md5-derived per-token values; mod 1e9+7) — order-sensitive, unlike the
+    bag-of-words md5 of exact_dup."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tok_vals = F.transform(
+        tokens_col("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % 1000003,
+    )
+    fp = F.aggregate(
+        tok_vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 131 + v) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_NEARDUP_BITS = 12
+_NEARDUP_THRESHOLD = 0.4
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket prefilter (first 12
+    dims) then exact cosine >= threshold — the embedding analog of
+    minhash_pairs. At scale the bucket join replaces the O(n^2) cross join."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = None
+    for i in range(_NEARDUP_BITS):
+        bit = F.when(F.element_at("v", i + 1) >= 0, 2**i).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket.cast("int"))
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("a"), "bucket")
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(_cosine_cols(), 6))
+        .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+_IVF_NCENTROIDS = 16
+_IVF_NPROBE = 2
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF-probed ANN — the direct IVFADC graft on embeddings: a coarse
+    codebook (deterministic: vectors vec_id < 16) keys inverted cell lists;
+    a query probes its nprobe=2 nearest cells and scores exact cosine only
+    inside them (O1 inverted-file pruning; ma=2 multi-assignment,
+    /root/reference/Vocab.cpp:236-248)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("b")
+    )
+    # assignment: nearest centroid per vector (J2 theta-join: broadcast
+    # codebook + argmax, never a shuffled cross join)
+    sim = e.select(F.col("vec_id"), F.col("v"), F.col("v").alias("a")).crossJoin(
+        F.broadcast(cent)
+    ).withColumn("cos_c", _cosine_cols())
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    ranked = sim.withColumn("r", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("r") == 1).select("vec_id", "v", "cell")
+    probes = (
+        ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("a"), "cell")
+    )
+    cand = assigned.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "cell")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
+    )  # assignment is unique (r==1), so no (query, cand) pair can duplicate
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "cand_id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 
@@ -780,6 +867,58 @@ SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
 """
 
 
+ORACLES["fingerprint_rolling"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_TOK},
+           x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 1000003) AS vals
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, vals),
+                   (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+FROM t
+"""
+
+_NEARDUP_BUCKET = " + ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(_NEARDUP_BITS)
+)
+ORACLES["embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  ({_NEARDUP_BUCKET})::INT AS bucket FROM embeddings),
+a AS (SELECT vec_id AS doc_a, v AS a, bucket FROM e),
+b AS (SELECT vec_id AS doc_b, v AS b, bucket FROM e)
+SELECT doc_a, doc_b, {_COS} AS cosine
+FROM a JOIN b USING(bucket)
+WHERE doc_a < doc_b AND {_COS} >= {_NEARDUP_THRESHOLD}
+"""
+
+ORACLES["knn_ivf_probe"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS b FROM e WHERE vec_id < {_IVF_NCENTROIDS}),
+sim AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, cent.b) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.b, cent.b)))
+           DESC, cent.cell) AS r
+  FROM e, cent
+),
+assigned AS (SELECT vec_id AS cand_id, v AS b, cell FROM sim WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, v AS a, cell FROM sim
+           WHERE r <= {_IVF_NPROBE} AND vec_id % 100 = 7),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS cosine
+  FROM probes JOIN assigned USING(cell) WHERE query_id <> cand_id
+)
+SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "fulltext_tf": q_tf,
     "fulltext_dictionary": q_dictionary,
@@ -808,4 +947,7 @@ QUERIES = {
     "token_count": q_token_count,
     "knn_brute_cosine": q_knn_brute,
     "knn_lsh_bucketed": q_knn_lsh,
+    "fingerprint_rolling": q_fingerprint,
+    "embedding_near_dup": q_embedding_near_dup,
+    "knn_ivf_probe": q_knn_ivf,
 }

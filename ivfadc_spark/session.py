@@ -18,17 +18,23 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
-        os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    if shuffle_partitions is None:
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # not under spark-submit (whose gateway already carries --master):
+        # fall back to the local default
+        master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None and master is not None:
         # match local cores, not the 200 default
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        shuffle_partitions = 32 if n == "*" else max(8, int(n.split(",")[0]))
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -36,6 +42,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # shuffle/spill on tmpfs: local-mode shuffle through ext4 caps the
+        # scaling of shuffle-heavy stages at ~disk bandwidth regardless of
+        # cores (cluster analog: fast local SSDs / remote shuffle service)
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -43,5 +53,11 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if shuffle_partitions is None:
+        # spark-submit path: size the shuffle to the actual core count
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

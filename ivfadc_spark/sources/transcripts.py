@@ -181,12 +181,18 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # offsets via broadcast join on _pid: O(1) per row. (A create_map literal
+    # here is O(n_partitions) per row — it silently cancels the parallelism
+    # win of adding partitions.)
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
     w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-    out = parted.withColumn(
-        "doc_id",
-        (offmap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
-    ).drop("_pid")
+    out = (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_off")
+    )
     return out
 
 

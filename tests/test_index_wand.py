@@ -128,6 +128,24 @@ def test_wand_rank_identical_to_dataframe_path(spark, corpus):
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
 
 
+def test_batch_path_rank_identical(spark, corpus):
+    """Doc-sharded batch path ≡ term-partitioned path ≡ DataFrame path."""
+    from ivfadc_spark.operators.wand import bm25_topk_batch
+
+    tx, seg, out = corpus
+    want = _df_path_topk(spark, seg)
+    got = (
+        bm25_topk_batch(_queries_df(spark), seg, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    import numpy as np
+
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
 def test_merge_equals_single_build(spark, corpus, tmp_path):
     """Index built in two halves then merged ≡ single build (FIXTURES §5 U1)."""
     tx, seg, out = corpus
