@@ -55,6 +55,18 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (vectorized) — lets callers split one
+    concatenated varint_encode stream into per-block byte ranges."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(a.shape[0], dtype=np.int64)
+    tmp = a >> _U7
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> _U7
+    return nb
+
+
 def varint_decode(buf: bytes, expected: int | None = None) -> np.ndarray:
     """Decode LEB128 bytes to uint64 array, vectorized via ufunc.at."""
     b = np.frombuffer(buf, dtype=np.uint8)

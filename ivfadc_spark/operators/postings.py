@@ -98,38 +98,80 @@ def build_blocks(
     k1, b, bsz = float(cfg.k1), float(cfg.b), int(cfg.block_size)
     avgdl_f = float(avgdl)
 
-    def encode_rows(term: str, salt: int, g: pd.DataFrame, rows: list) -> None:
-        ids = g["doc_id"].to_numpy(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        tfs = g["tf"].to_numpy(np.int64)[order]
-        dls = g["dl"].to_numpy(np.int64)[order]
-        impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
-        for blk_id, s in enumerate(range(0, len(ids), bsz)):
-            e = min(s + bsz, len(ids))
-            did, dtf, ddl = delta_encode(ids[s:e]), varint_encode(tfs[s:e]), varint_encode(dls[s:e])
-            rows.append(
-                (
-                    term, salt, blk_id, e - s, int(ids[s]), int(ids[e - 1]),
-                    did, dtf, ddl, float(impact[s:e].max()),
-                    len(did) + len(dtf) + len(ddl),
-                )
-            )
-
-    cols = [
-        "term", "salt", "block_id", "n", "first_doc", "last_doc",
-        "doc_ids", "tfs", "dls", "max_impact", "bytes",
-    ]
-
     def encode_partition(batches):
+        """Encode EVERY (term, salt) group of the partition in one
+        vectorized pass — no per-group python. One sort by
+        (term, salt, doc_id), block boundaries and per-block stats via
+        reduceat, one varint_encode per column with per-block byte-range
+        slicing (the only per-block python: three bytes[a:b] slices)."""
+        from ivfadc_spark.functions.codecs import varint_lengths
+
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        rows: list = []
-        for (term, salt), g in whole.groupby(["term", "salt"], sort=False):
-            encode_rows(term, int(salt), g, rows)
-        yield pd.DataFrame(rows, columns=cols)
+        whole = whole.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+        ids = whole["doc_id"].to_numpy(np.int64)
+        tfs = whole["tf"].to_numpy(np.int64)
+        dls = whole["dl"].to_numpy(np.int64)
+        terms = whole["term"].to_numpy()
+        salts = whole["salt"].to_numpy(np.int32)
+        m = ids.size
+        # group starts: term or salt changes
+        gs = np.empty(m, dtype=bool)
+        gs[0] = True
+        gs[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        gidx = np.cumsum(gs) - 1  # group ordinal per row
+        gfirst = np.flatnonzero(gs)  # first row of each group
+        within = np.arange(m) - gfirst[gidx]  # position within group
+        # block starts: group start or every bsz-th row within the group
+        bs = gs | (within % bsz == 0)
+        bstart = np.flatnonzero(bs)  # first row of each block
+        bend = np.r_[bstart[1:], m]  # one past last row
+        n_blk = (bend - bstart).astype(np.int64)
+        blk_of_row = np.cumsum(bs) - 1
+        # block_id within its group
+        first_blk_of_group = blk_of_row[gfirst]
+        block_id = np.arange(bstart.size) - first_blk_of_group[gidx[bstart]]
+        # per-row deltas with an absolute value at each block start
+        deltas = np.empty(m, dtype=np.uint64)
+        deltas[0] = np.uint64(ids[0])
+        diffs = ids[1:] - ids[:-1]
+        deltas[1:] = diffs.astype(np.uint64)
+        deltas[bstart] = ids[bstart].astype(np.uint64)
+        # impact + per-block max
+        impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
+        max_imp = np.maximum.reduceat(impact, bstart)
+        # encode whole columns once; split into per-block byte ranges
+        enc = {}
+        for name, vals in (("doc_ids", deltas), ("tfs", tfs.astype(np.uint64)), ("dls", dls.astype(np.uint64))):
+            stream = varint_encode(vals)
+            nb = varint_lengths(vals)
+            ends = np.cumsum(nb)
+            starts = ends - nb
+            lo = starts[bstart]
+            hi = ends[bend - 1]
+            enc[name] = [stream[a:z] for a, z in zip(lo, hi)]
+        tot_bytes = (
+            np.array([len(x) for x in enc["doc_ids"]], dtype=np.int64)
+            + np.array([len(x) for x in enc["tfs"]], dtype=np.int64)
+            + np.array([len(x) for x in enc["dls"]], dtype=np.int64)
+        )
+        yield pd.DataFrame(
+            {
+                "term": terms[bstart],
+                "salt": salts[bstart].astype(np.int32),
+                "block_id": block_id.astype(np.int32),
+                "n": n_blk.astype(np.int32),
+                "first_doc": ids[bstart],
+                "last_doc": ids[bend - 1],
+                "doc_ids": enc["doc_ids"],
+                "tfs": enc["tfs"],
+                "dls": enc["dls"],
+                "max_impact": max_imp,
+                "bytes": tot_bytes,
+            }
+        )
 
     n = num_partitions or salted.sparkSession.sparkContext.defaultParallelism * 2
     return salted.repartition(n, "term", "salt").mapInPandas(encode_partition, BLOCKS_SCHEMA)

@@ -53,36 +53,59 @@ def term_frequencies_mapside(
     input row that carries the doc — so the explode+groupBy shuffle of
     :func:`term_frequencies` is pure overhead (at 10^12 turns it is the
     single largest exchange in the build: ~20T exploded token rows). This
-    variant counts tokens inside an Arrow batch with vectorized pandas
-    (split/explode/groupby — no per-row Python) and emits the aggregated
-    fact table map-side, carrying ``dl`` so downstream needs no dl join
-    either. Output rows are identical to ``term_frequencies(docs)`` joined
-    with ``doc_lengths(docs)``.
+    variant runs on raw Arrow batches (``mapInArrow``): the text never
+    becomes Python string objects — RE2 ``split_pattern_regex`` over the
+    contiguous utf8 buffer, dictionary-encode, then a single numpy
+    key-count ((row, code) keys) per batch. Output rows are identical to
+    ``term_frequencies(docs)`` joined with ``doc_lengths(docs)``.
     """
+    import numpy as np
+
     from ivfadc_spark.config import DEFAULT
 
     pattern = DEFAULT.token_pattern
 
     def gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            toks = pdf[text_col].fillna("").str.lower().str.split(pattern, regex=True)
-            flat = toks.explode()
-            flat = flat[flat.notna() & (flat != "")]
+            tbl = pa.Table.from_batches([rb])
+            text = pc.fill_null(tbl.column(text_col), "")
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            parent = parent.filter(keep)
             if len(flat) == 0:
                 continue
-            g = pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].reindex(flat.index).to_numpy(),
-                    "term": flat.to_numpy(),
-                }
+            enc = pc.dictionary_encode(flat)
+            enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = enc.dictionary
+            v = len(vocab)
+            keys = par * v + codes
+            uk, tf = np.unique(keys, return_counts=True)
+            row_idx = uk // v
+            code = uk % v
+            dl = np.bincount(par, minlength=rb.num_rows)
+            doc_ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[row_idx], type=pa.int64()),
+                    vocab.take(pa.array(code)),
+                    pa.array(tf.astype(np.int64)),
+                    pa.array(dl[row_idx].astype(np.int64)),
+                ],
+                names=["doc_id", "term", "tf", "dl"],
             )
-            counts = g.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
-            counts["dl"] = counts.groupby("doc_id", sort=False)["tf"].transform("sum")
-            yield counts[["doc_id", "term", "tf", "dl"]]
 
-    return docs.mapInPandas(gen, "doc_id long, term string, tf long, dl long")
+    return docs.mapInArrow(gen, "doc_id long, term string, tf long, dl long")
 
 
 def doc_lengths(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -114,3 +137,16 @@ def corpus_stats(dl: DataFrame) -> dict:
     """N and avgdl as plain Python (two scalars; one tiny job)."""
     row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     return {"n_docs": int(row["n"]), "avgdl": float(row["avgdl"] or 0.0)}
+
+
+def corpus_stats_from_tf(tf: DataFrame) -> dict:
+    """Same two scalars derived from the (doc_id, term, tf) fact table —
+    saves the build a second tokenize pass. ``n_docs`` counts docs with at
+    least one token (the dl>0 convention) and ``avgdl`` = total tokens /
+    n_docs, both identical to :func:`corpus_stats` on ``doc_lengths``."""
+    row = tf.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.sum("tf").alias("tokens"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    return {"n_docs": n, "avgdl": (float(row["tokens"]) / n) if n else 0.0}

@@ -31,7 +31,7 @@ from ivfadc_spark.config import DEFAULT, EngineConfig
 from ivfadc_spark.operators import stats as S
 from ivfadc_spark.operators.postings import build_blocks, salted_tf
 from ivfadc_spark.operators.segments import Segment, write_segment
-from ivfadc_spark.sources.transcripts import assign_doc_ids
+from ivfadc_spark.sources.transcripts import assign_doc_ids, release_doc_ids
 
 
 def _manifest_path(out: str) -> str:
@@ -102,45 +102,44 @@ def build_index(
     p_dict = os.path.join(out, "02_dict")
     p_seg = os.path.join(out, "segment")
 
+    with_ids = None
     if not stage("00_doc_map"):
         t0 = time.time()
         with_ids = assign_doc_ids(transcripts)
-        # one write carries doc_map columns, text, AND dl (token count is a
-        # cheap JVM expression here; parquet column pruning makes the
-        # doc_map/dl reads below scan only what they need — no second pass)
-        from ivfadc_spark.functions.tokenize import tokens_col
-
+        # the checkpoint holds ONLY the doc_map (no text, no token counts):
+        # text never round-trips through parquet — stage 01 reads it straight
+        # from assign_doc_ids' serialized cache, and dl/avgdl derive from the
+        # tf fact table, so the corpus is tokenized exactly once
         (
-            with_ids.select(
-                "doc_id",
-                "conv_id",
-                "turn_idx",
-                "text",
-                F.size(tokens_col("text")).cast("long").alias("dl"),
-            )
+            with_ids.select("doc_id", "conv_id", "turn_idx")
             .write.mode("overwrite")
             .parquet(p_docs)
         )
-        with_ids.unpersist()
         record("00_doc_map", t0, rows=spark.read.parquet(p_docs).count())
-    docs_all = spark.read.parquet(p_docs)
-    docs = _ensure_parallelism(docs_all.select("doc_id", "text"), spark)
-    # empty docs carry no postings and (oracle convention) no dl
-    dl = docs_all.select("doc_id", "dl").filter(F.col("dl") > 0)
+    doc_map = spark.read.parquet(p_docs)
 
     if not stage("01_tf"):
         t0 = time.time()
+        if with_ids is None:
+            # resuming past a completed 00 in a fresh session: re-derive ids —
+            # assign_doc_ids is deterministic (data-derived order), so the
+            # recompute reproduces the checkpointed doc_map exactly
+            with_ids = assign_doc_ids(transcripts)
         # map-side tf+dl: no shuffle (tf is doc-local), no explode exchange
-        S.term_frequencies_mapside(docs).write.mode("overwrite").parquet(p_tf)
+        S.term_frequencies_mapside(
+            with_ids.select("doc_id", "text")
+        ).write.mode("overwrite").parquet(p_tf)
         extra = {"rows": spark.read.parquet(p_tf).count()}
         if measure_skew:
             extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_tf))
         record("01_tf", t0, **extra)
+    if with_ids is not None:
+        release_doc_ids(with_ids)
     tf = _ensure_parallelism(spark.read.parquet(p_tf), spark)
 
     if not stage("02_dict"):
         t0 = time.time()
-        cs = S.corpus_stats(dl)
+        cs = S.corpus_stats_from_tf(tf)
         S.dictionary(tf, cs["n_docs"]).write.mode("overwrite").parquet(p_dict)
         record("02_dict", t0, **cs)
     cs = {k: done["02_dict"][k] for k in ("n_docs", "avgdl")}
@@ -153,7 +152,7 @@ def build_index(
         write_segment(
             p_seg,
             blocks,
-            docs_all.select("doc_id", "conv_id", "turn_idx"),
+            doc_map,
             dictionary,
             None,
             cs["n_docs"],

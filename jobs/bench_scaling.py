@@ -30,8 +30,9 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True, help="transcripts parquet; generated if absent")
-    ap.add_argument("--n-conv", type=int, default=80_000, help="conversations if generating")
-    ap.add_argument("--queries", type=int, default=2000)
+    ap.add_argument("--n-conv", type=int, default=320_000, help="conversations if generating")
+    ap.add_argument("--vocab", type=int, default=20_000)
+    ap.add_argument("--queries", type=int, default=100_000)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
@@ -40,7 +41,7 @@ def main() -> None:
     import pandas as pd
 
     from ivfadc_spark.config import EngineConfig
-    from ivfadc_spark.operators.wand import bm25_topk_indexed
+    from ivfadc_spark.operators.wand import bm25_topk_batch
     from ivfadc_spark.plans.build_index import build_index
     from ivfadc_spark.session import get_spark
     from ivfadc_spark.sources.transcripts import synth_transcripts_fast_pdf
@@ -50,7 +51,9 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
 
     if not os.path.exists(args.corpus):
-        pdf = synth_transcripts_fast_pdf(n_conversations=args.n_conv, seed=42)
+        pdf = synth_transcripts_fast_pdf(
+            n_conversations=args.n_conv, seed=42, vocab_size=args.vocab
+        )
         spark.createDataFrame(
             pdf,
             schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
@@ -59,7 +62,7 @@ def main() -> None:
     tx = spark.read.parquet(args.corpus)
     n_turns = tx.count()
 
-    cfg = EngineConfig(block_size=256, salt_df_threshold=50_000, max_salts=32)
+    cfg = EngineConfig(block_size=256, doc_shards=32)
 
     # ---- warm-up: tiny end-to-end build+query so JIT compilation and the
     # Python-worker pool spawn are excluded from the measured window (they
@@ -81,22 +84,30 @@ def main() -> None:
     seg.blocks.count()
     build_s = time.time() - t0
 
-    # ---- query batch ----
+    # ---- query batch (doc-sharded throughput path) ----
+    # realistic mix: 3-8 informative terms per query, Zipf-weighted over the
+    # mid band (ranks 200..vocab) — stopword-band head terms excluded, like
+    # real search queries
     rng = np.random.default_rng(7)
-    vocab = [f"w{i:05d}" for i in range(2000)]
-    qtexts = [
-        " ".join(rng.choice(vocab[:1600], size=rng.integers(1, 5)))
-        for _ in range(args.queries)
-    ]
+    lo_r, hi_r = 200, args.vocab
+    ranks = np.arange(lo_r, hi_r, dtype=np.float64)
+    w = (1.0 / ranks) / (1.0 / ranks).sum()
+    nq = args.queries
+    n_terms = rng.integers(3, 9, size=nq)
+    draws = rng.choice(np.arange(lo_r, hi_r), size=int(n_terms.sum()), p=w)
+    terms_flat = np.array([f"w{i:05d}" for i in draws])
+    qtexts = pd.Series(terms_flat).groupby(np.repeat(np.arange(nq), n_terms)).agg(" ".join)
     qdf = spark.createDataFrame(
-        pd.DataFrame({"query_id": range(args.queries), "text": qtexts}),
+        pd.DataFrame({"query_id": np.arange(nq, dtype=np.int64), "text": qtexts.to_numpy()}),
         schema="query_id long, text string",
     )
-    bm25_topk_indexed(qdf.limit(16), seg, k=args.k, cfg=cfg).collect()  # warm-up
+    qdf = qdf.repartition(cores).cache()
+    qdf.count()
+    bm25_topk_batch(qdf.limit(256), seg, k=args.k, cfg=cfg).collect()  # warm-up
     query_s = float("inf")
     for _trial in range(2):  # best-of-2: suppress run-to-run shuffle jitter
         t0 = time.time()
-        rows = bm25_topk_indexed(qdf, seg, k=args.k, cfg=cfg).collect()
+        rows = bm25_topk_batch(qdf, seg, k=args.k, cfg=cfg).collect()
         query_s = min(query_s, time.time() - t0)
 
     with open(os.path.join(out_idx, "_manifest.json")) as f:

@@ -86,8 +86,10 @@ def test_mapside_tf_identical_to_explode_groupby(spark):
 
 
 def test_block_roundtrip(spark, corpus):
+    from ivfadc_spark.sources.transcripts import assign_doc_ids
+
     tx, seg, out = corpus
-    docs = spark.read.parquet(os.path.join(out, "00_docs"))
+    docs = assign_doc_ids(tx).select("doc_id", "text")
     tf = S.term_frequencies(docs).select("term", "doc_id", "tf")
     dec = decode_blocks(seg.blocks).select("term", "doc_id", "tf")
     a = tf.orderBy("term", "doc_id").toPandas()
@@ -102,7 +104,9 @@ def test_salting_applied_and_equivalent(spark, corpus):
     assert met.loc["headterm", "n_salts"] > 1
     assert (met[met["postings"] == 1]["n_salts"] == 1).all()
     # unsalted rebuild produces identical decoded postings
-    docs = spark.read.parquet(os.path.join(out, "00_docs"))
+    from ivfadc_spark.sources.transcripts import assign_doc_ids
+
+    docs = assign_doc_ids(tx).select("doc_id", "text")
     tf, dl = S.term_frequencies(docs), S.doc_lengths(docs)
     cs = S.corpus_stats(dl)
     d = S.dictionary(tf, cs["n_docs"])
@@ -194,8 +198,9 @@ def test_doc_map_and_text_invariant(spark, corpus):
     assert list(dm["turn_idx"]) == list(src["turn_idx"])
     # doc ids dense 0..N-1
     assert list(dm["doc_id"]) == list(range(len(dm)))
-    # reconstructing text through the docs checkpoint is byte-identical
-    docs = (
-        spark.read.parquet(os.path.join(out, "00_docs")).orderBy("doc_id").toPandas()
-    )
+    # re-deriving ids is deterministic: same (doc_id -> text) mapping as the
+    # original build (the checkpoint holds no text; resume relies on this)
+    from ivfadc_spark.sources.transcripts import assign_doc_ids
+
+    docs = assign_doc_ids(tx).select("doc_id", "text").orderBy("doc_id").toPandas()
     assert list(docs["text"]) == list(src["text"])

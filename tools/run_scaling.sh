@@ -5,16 +5,21 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-NCONV="${SCALING_NCONV:-240000}"
+NCONV="${SCALING_NCONV:-320000}"
 CORPUS="${SCALING_CORPUS:-/tmp/ivfadc_scaling_tx_${NCONV}.parquet}"
-QUERIES="${SCALING_QUERIES:-2000}"
+QUERIES="${SCALING_QUERIES:-100000}"
 mkdir -p BENCH
 
 python tools/make_dist.py >/dev/null
 
 run() {
   local n="$1"
-  spark-submit --master "local[$n]" --py-files dist/engine.zip \
+  # taskset pins the WHOLE process tree (JVM + python workers) to n cores:
+  # without it, a local[8] driver's python workers spill onto the other 24
+  # cores and the "8-core" leg silently uses ~16 — the honest cluster analog
+  # is an 8-core box, so give it exactly 8.
+  local last=$((n - 1))
+  taskset -c "0-$last" spark-submit --master "local[$n]" --py-files dist/engine.zip \
     --conf spark.driver.memory=48g \
     jobs/bench_scaling.py --corpus "$CORPUS" --n-conv "$NCONV" \
     --queries "$QUERIES" --out "BENCH/run_n$n.json" 2>/dev/null | tail -1
