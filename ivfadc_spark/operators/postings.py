@@ -100,27 +100,43 @@ def build_blocks(
 
     def encode_partition(batches):
         """Encode EVERY (term, salt) group of the partition in one
-        vectorized pass — no per-group python. One sort by
-        (term, salt, doc_id), block boundaries and per-block stats via
-        reduceat, one varint_encode per column with per-block byte-range
-        slicing (the only per-block python: three bytes[a:b] slices)."""
+        vectorized pass — no per-group python, and (mapInArrow) no Python
+        string objects: terms stay in Arrow buffers, get dictionary-encoded
+        to int codes, and the partition sort is a numpy lexsort on
+        (code, salt, doc_id) ints — the inter-group order is arbitrary but
+        grouping + within-group docID order (all any reader needs) are
+        exact. Block boundaries and per-block stats via reduceat, one
+        varint_encode per column with per-block byte-range slicing (the
+        only per-block python: three bytes[a:b] slices). The old
+        mapInPandas form materialized every term as a Python str and
+        mergesorted on objects — at 32-way parallelism the allocation storm
+        spent more CPU in the kernel (page faults) than in the encode."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         from ivfadc_spark.functions.codecs import varint_lengths
 
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
+        bl = [rb for rb in batches if rb.num_rows]
+        if not bl:
             return
-        whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        whole = whole.sort_values(["term", "salt", "doc_id"], kind="mergesort")
-        ids = whole["doc_id"].to_numpy(np.int64)
-        tfs = whole["tf"].to_numpy(np.int64)
-        dls = whole["dl"].to_numpy(np.int64)
-        terms = whole["term"].to_numpy()
-        salts = whole["salt"].to_numpy(np.int32)
+        tbl = pa.Table.from_batches(bl)
+        enc_t = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        enc_t = enc_t.combine_chunks() if isinstance(enc_t, pa.ChunkedArray) else enc_t
+        codes = enc_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc_t.dictionary
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        salts = tbl.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.lexsort((ids, salts, codes))
+        codes, ids, tfs, dls, salts = (
+            codes[order], ids[order], tfs[order], dls[order], salts[order]
+        )
         m = ids.size
         # group starts: term or salt changes
         gs = np.empty(m, dtype=bool)
         gs[0] = True
-        gs[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        gs[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
         gidx = np.cumsum(gs) - 1  # group ordinal per row
         gfirst = np.flatnonzero(gs)  # first row of each group
         within = np.arange(m) - gfirst[gidx]  # position within group
@@ -157,24 +173,28 @@ def build_blocks(
             + np.array([len(x) for x in enc["tfs"]], dtype=np.int64)
             + np.array([len(x) for x in enc["dls"]], dtype=np.int64)
         )
-        yield pd.DataFrame(
-            {
-                "term": terms[bstart],
-                "salt": salts[bstart].astype(np.int32),
-                "block_id": block_id.astype(np.int32),
-                "n": n_blk.astype(np.int32),
-                "first_doc": ids[bstart],
-                "last_doc": ids[bend - 1],
-                "doc_ids": enc["doc_ids"],
-                "tfs": enc["tfs"],
-                "dls": enc["dls"],
-                "max_impact": max_imp,
-                "bytes": tot_bytes,
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                vocab.take(pa.array(codes[bstart])),
+                pa.array(salts[bstart], type=pa.int32()),
+                pa.array(block_id.astype(np.int32)),
+                pa.array(n_blk.astype(np.int32)),
+                pa.array(ids[bstart], type=pa.int64()),
+                pa.array(ids[bend - 1], type=pa.int64()),
+                pa.array(enc["doc_ids"], type=pa.binary()),
+                pa.array(enc["tfs"], type=pa.binary()),
+                pa.array(enc["dls"], type=pa.binary()),
+                pa.array(max_imp, type=pa.float64()),
+                pa.array(tot_bytes, type=pa.int64()),
+            ],
+            names=[
+                "term", "salt", "block_id", "n", "first_doc", "last_doc",
+                "doc_ids", "tfs", "dls", "max_impact", "bytes",
+            ],
         )
 
     n = num_partitions or salted.sparkSession.sparkContext.defaultParallelism * 2
-    return salted.repartition(n, "term", "salt").mapInPandas(encode_partition, BLOCKS_SCHEMA)
+    return salted.repartition(n, "term", "salt").mapInArrow(encode_partition, BLOCKS_SCHEMA)
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:

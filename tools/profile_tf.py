@@ -48,6 +48,7 @@ def main() -> None:
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--corpus", default="/tmp/ivfadc_scaling_tx_320000.parquet")
     ap.add_argument("--impl", default="arrow", choices=["arrow", "pandas"])
+    ap.add_argument("--dst-dir", default=None, help="write parquet under this dir (default tempfile)")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_MASTER"] = args.master
@@ -67,7 +68,7 @@ def main() -> None:
     fn = term_frequencies_mapside if args.impl == "arrow" else pandas_impl
     fn(docs.limit(2000)).count()
 
-    dst = tempfile.mkdtemp(prefix="prof_tf_")
+    dst = tempfile.mkdtemp(prefix="prof_tf_", dir=args.dst_dir)
     t0 = time.time()
     fn(docs).write.mode("overwrite").parquet(dst)
     wall = time.time() - t0

@@ -1,31 +1,38 @@
 #!/usr/bin/env bash
-# N-vs-4N scaling-efficiency protocol (BASELINE.md): same job, same input,
-# local[8] then local[32]; writes BENCH/run_n8.json, BENCH/run_n32.json and
-# regenerates the results table in BENCH/BASELINE.md.
+# N-vs-4N scaling-efficiency protocol (BASELINE.md): the same spark-submit job
+# on the SAME input at two pinned core counts (default 4 and 16), multiple
+# interleaved trials per leg with per-metric best (the sandbox host has
+# multi-minute noisy-neighbor episodes with 2-6x swings; minima estimate the
+# quiet-host throughput both legs would see on dedicated hardware). taskset
+# pins the WHOLE process tree (JVM + python workers): without it a local[N]
+# driver's python workers spill onto the remaining cores and the "N-core"
+# leg silently uses ~2N. Also records a raw-CPU control (busy loops at the
+# same two core counts) = the hardware scaling ceiling of this host.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+N1="${SCALING_N1:-4}"
+N2="${SCALING_N2:-16}"
+TRIALS="${SCALING_TRIALS:-3}"
 NCONV="${SCALING_NCONV:-320000}"
 CORPUS="${SCALING_CORPUS:-/tmp/ivfadc_scaling_tx_${NCONV}.parquet}"
-QUERIES="${SCALING_QUERIES:-100000}"
+QUERIES="${SCALING_QUERIES:-50000}"
 mkdir -p BENCH
 
 python tools/make_dist.py >/dev/null
+python tools/cpu_control.py --n1 "$N1" --n2 "$N2" --out BENCH/cpu_control.json
 
 run() {
-  local n="$1"
-  # taskset pins the WHOLE process tree (JVM + python workers) to n cores:
-  # without it, a local[8] driver's python workers spill onto the other 24
-  # cores and the "8-core" leg silently uses ~16 — the honest cluster analog
-  # is an 8-core box, so give it exactly 8.
-  local last=$((n - 1))
-  taskset -c "0-$last" spark-submit --master "local[$n]" --py-files dist/engine.zip \
+  local n="$1" t="$2"
+  taskset -c "0-$((n - 1))" spark-submit --master "local[$n]" --py-files dist/engine.zip \
     --conf spark.driver.memory=48g \
     jobs/bench_scaling.py --corpus "$CORPUS" --n-conv "$NCONV" \
-    --queries "$QUERIES" --out "BENCH/run_n$n.json" 2>/dev/null | tail -1
+    --queries "$QUERIES" --out "BENCH/run_n${n}_t${t}.json" 2>/dev/null | tail -1
 }
 
-echo "== local[8]" && run 8
-echo "== local[32]" && run 32
+for t in $(seq 1 "$TRIALS"); do
+  echo "== trial $t local[$N1]" && run "$N1" "$t"
+  echo "== trial $t local[$N2]" && run "$N2" "$t"
+done
 
-python tools/report_scaling.py BENCH/run_n8.json BENCH/run_n32.json
+python tools/report_scaling.py "$N1" "$N2" "$TRIALS"
