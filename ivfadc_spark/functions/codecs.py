@@ -17,14 +17,43 @@ _U7 = np.uint64(7)
 _U0x7F = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a 1-D array of non-negative ints, vectorized."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a 1-D array, returning (stream, bytes-per-value).
+
+    Fast paths: all-1-byte (values < 2^7 — tf/dl payloads almost always) is a
+    single cast; all-≤2-byte (values < 2^14 — sharded docID deltas almost
+    always) is two vectorized writes. General LEB128 loop otherwise.
+    """
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = a.shape[0]
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     if a.ndim != 1:
         raise ValueError("varint_encode expects 1-D input")
+    mx = int(a.max())
+    if mx < 1 << 7:
+        return a.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
+    if mx < 1 << 14:
+        two = a >= np.uint64(1 << 7)
+        nb = 1 + two.astype(np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nb[:-1], out=starts[1:])
+        out = np.empty(int(nb.sum()), dtype=np.uint8)
+        lo = (a & _U0x7F).astype(np.uint8)
+        out[starts] = np.where(two, lo | np.uint8(0x80), lo)
+        t = np.flatnonzero(two)
+        out[starts[t] + 1] = (a[t] >> _U7).astype(np.uint8)
+        return out.tobytes(), nb
+    return _varint_encode_general(a)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints, vectorized."""
+    return varint_encode_with_lengths(values)[0]
+
+
+def _varint_encode_general(a: np.ndarray) -> tuple[bytes, np.ndarray]:
+    n = a.shape[0]
     # bytes needed per value
     nb = np.ones(n, dtype=np.int64)
     tmp = a >> _U7
@@ -52,13 +81,20 @@ def varint_encode(values: np.ndarray) -> bytes:
         idx[act] += 1
         remaining[act] = nxt
         active[act[~cont]] = False
-    return out.tobytes()
+    return out.tobytes(), nb
 
 
 def varint_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte count per value (vectorized) — lets callers split one
     concatenated varint_encode stream into per-block byte ranges."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    mx = int(a.max())
+    if mx < 1 << 7:
+        return np.ones(a.shape[0], dtype=np.int64)
+    if mx < 1 << 14:
+        return 1 + (a >= np.uint64(1 << 7)).astype(np.int64)
     nb = np.ones(a.shape[0], dtype=np.int64)
     tmp = a >> _U7
     while tmp.any():

@@ -114,7 +114,7 @@ def build_blocks(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from ivfadc_spark.functions.codecs import varint_lengths
+        from ivfadc_spark.functions.codecs import varint_encode_with_lengths
 
         bl = [rb for rb in batches if rb.num_rows]
         if not bl:
@@ -128,7 +128,19 @@ def build_blocks(
         tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         dls = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
         salts = tbl.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
-        order = np.lexsort((ids, salts, codes))
+        # single-key argsort on a packed (code, salt, doc) int64 beats a
+        # 3-pass lexsort ~5x; falls back to lexsort if the bit budget
+        # (63) ever overflows (gigantic per-partition vocab x doc space)
+        sb = max(int(salts.max()), 0).bit_length()
+        db = max(int(ids.max()), 1).bit_length()
+        cb = max(int(codes.max()), 1).bit_length()
+        if sb + db + cb <= 63:
+            order = np.argsort(
+                (codes << (sb + db)) | (salts.astype(np.int64) << db) | ids,
+                kind="stable",
+            )
+        else:
+            order = np.lexsort((ids, salts, codes))
         codes, ids, tfs, dls, salts = (
             codes[order], ids[order], tfs[order], dls[order], salts[order]
         )
@@ -158,21 +170,25 @@ def build_blocks(
         # impact + per-block max
         impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
         max_imp = np.maximum.reduceat(impact, bstart)
-        # encode whole columns once; split into per-block byte ranges
+        # encode whole columns once; blocks tile each stream contiguously,
+        # so the per-block binary column is a ZERO-COPY Arrow BinaryArray
+        # over (offsets, stream) — no per-block python bytes objects at all
         enc = {}
+        tot_bytes = np.zeros(bstart.size, dtype=np.int64)
         for name, vals in (("doc_ids", deltas), ("tfs", tfs.astype(np.uint64)), ("dls", dls.astype(np.uint64))):
-            stream = varint_encode(vals)
-            nb = varint_lengths(vals)
+            stream, nb = varint_encode_with_lengths(vals)
             ends = np.cumsum(nb)
-            starts = ends - nb
-            lo = starts[bstart]
+            lo = (ends - nb)[bstart]
             hi = ends[bend - 1]
-            enc[name] = [stream[a:z] for a, z in zip(lo, hi)]
-        tot_bytes = (
-            np.array([len(x) for x in enc["doc_ids"]], dtype=np.int64)
-            + np.array([len(x) for x in enc["tfs"]], dtype=np.int64)
-            + np.array([len(x) for x in enc["dls"]], dtype=np.int64)
-        )
+            offsets = np.empty(bstart.size + 1, dtype=np.int32)
+            offsets[:-1] = lo
+            offsets[-1] = hi[-1]
+            enc[name] = pa.Array.from_buffers(
+                pa.binary(),
+                bstart.size,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(stream)],
+            )
+            tot_bytes += hi - lo
         yield pa.RecordBatch.from_arrays(
             [
                 vocab.take(pa.array(codes[bstart])),
@@ -181,9 +197,9 @@ def build_blocks(
                 pa.array(n_blk.astype(np.int32)),
                 pa.array(ids[bstart], type=pa.int64()),
                 pa.array(ids[bend - 1], type=pa.int64()),
-                pa.array(enc["doc_ids"], type=pa.binary()),
-                pa.array(enc["tfs"], type=pa.binary()),
-                pa.array(enc["dls"], type=pa.binary()),
+                enc["doc_ids"],
+                enc["tfs"],
+                enc["dls"],
                 pa.array(max_imp, type=pa.float64()),
                 pa.array(tot_bytes, type=pa.int64()),
             ],
