@@ -209,7 +209,10 @@ def build_blocks(
             ],
         )
 
-    n = num_partitions or salted.sparkSession.sparkContext.defaultParallelism * 2
+    # 4 waves: encode task sizes vary ~2x (Zipf vocab), so finer tasks keep
+    # the last wave from stalling cores (measured: the 2-wave tail cost ~30%
+    # of stage wall at 16 cores)
+    n = num_partitions or salted.sparkSession.sparkContext.defaultParallelism * 4
     return salted.repartition(n, "term", "salt").mapInArrow(encode_partition, BLOCKS_SCHEMA)
 
 

@@ -169,7 +169,7 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     """
     from pyspark import StorageLevel
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     # DISK_ONLY, not the MEMORY_AND_DISK default: the cache is read exactly
     # once more (the write pass) and spark.local.dir is tmpfs, so "disk" is
     # RAM-speed serialized storage — while a deserialized in-heap cache of
