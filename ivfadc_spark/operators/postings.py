@@ -220,32 +220,56 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     """Inverse of build_blocks: blocks -> (term, doc_id, tf, dl) rows.
 
     Used by the segment merge (decode -> union -> re-encode) and by
-    round-trip tests. mapInPandas: per-batch numpy, no per-row Python.
+    round-trip tests. Whole-batch vectorized (the wand.py trick): varint
+    streams are self-delimiting, so ALL blocks of a batch decode in three
+    codec calls; absolute docIDs come from a segmented cumsum reset at
+    block starts; the term column expands by repeat on the ARROW array
+    (no Python string objects).
     """
-    from ivfadc_spark.functions.codecs import delta_decode, varint_decode
+    from ivfadc_spark.functions.codecs import varint_decode
 
     def decode(batches):
-        for pdf in batches:
-            terms, ids, tfs, dls = [], [], [], []
-            for t, n, bid, btf, bdl in zip(
-                pdf["term"], pdf["n"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]
-            ):
-                ids.append(delta_decode(bytes(bid), int(n)))
-                tfs.append(varint_decode(bytes(btf), int(n)))
-                dls.append(varint_decode(bytes(bdl), int(n)))
-                terms.append(np.repeat(t, int(n)))
-            if not terms:
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(ids).astype(np.int64),
-                    "tf": np.concatenate(tfs).astype(np.int64),
-                    "dl": np.concatenate(dls).astype(np.int64),
-                }
+            tbl = pa.Table.from_batches([rb])
+            counts = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+
+            def cat(col):
+                # a BinaryArray's data buffer IS the in-order concatenation
+                # of its values — slice it once, zero per-block objects
+                a = tbl.column(col).combine_chunks()
+                offs = np.frombuffer(a.buffers()[1], dtype=np.int32)
+                lo = int(offs[a.offset])
+                hi = int(offs[a.offset + len(a)])
+                return memoryview(a.buffers()[2])[lo:hi]
+
+            deltas = varint_decode(cat("doc_ids"), total).astype(np.int64)
+            tfs = varint_decode(cat("tfs"), total).astype(np.int64)
+            dls = varint_decode(cat("dls"), total).astype(np.int64)
+            c = np.cumsum(deltas)
+            bstarts = np.cumsum(counts) - counts
+            base = np.where(bstarts > 0, c[bstarts - 1], 0)
+            ids = c - np.repeat(base, counts)
+            term_rep = tbl.column("term").combine_chunks().take(
+                pa.array(np.repeat(np.arange(counts.size), counts))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    term_rep,
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(tfs),
+                    pa.array(dls),
+                ],
+                names=["term", "doc_id", "tf", "dl"],
             )
 
-    return blocks.mapInPandas(decode, "term string, doc_id long, tf long, dl long")
+    return blocks.mapInArrow(decode, "term string, doc_id long, tf long, dl long")
 
 
 def block_metrics(blocks: DataFrame) -> DataFrame:
