@@ -168,7 +168,7 @@ def merge_segments(
     )
     # decoded rows already carry dl — no per-doc join needed (salted_tf dl=None path)
     salted = salted_tf(tf_all, None, merged_dict, cfg)
-    blocks = build_blocks(salted, avgdl, cfg)
+    blocks = build_blocks(salted, avgdl, cfg, dictionary=merged_dict)
     write_segment(
         out_path,
         blocks,

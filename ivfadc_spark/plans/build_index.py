@@ -148,7 +148,7 @@ def build_index(
     if not stage("03_segment"):
         t0 = time.time()
         salted = salted_tf(tf, None, dictionary, cfg)
-        blocks = build_blocks(salted, cs["avgdl"], cfg)
+        blocks = build_blocks(salted, cs["avgdl"], cfg, dictionary=dictionary)
         write_segment(
             p_seg,
             blocks,
