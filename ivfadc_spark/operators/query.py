@@ -100,3 +100,38 @@ def bm25_topk(
     """End-to-end: queries(query_id, text) -> (query_id, rank, doc_id, score)."""
     qt = query_terms(queries)
     return topk(bm25_scores(qt, tf, dictionary, dl, avgdl, cfg), k, cfg)
+
+
+def bm25_topk_conjunctive(
+    queries: DataFrame,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    dl: DataFrame,
+    avgdl: float,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """AND-semantics top-k: only docs containing EVERY query term rank.
+
+    The reference (like the base path) is pure OR-semantics — it scores any
+    doc probed by any assigned cell (/root/reference/SearchEngine.cpp:157).
+    Conjunctive matching is the standard search-engine tightening: the same
+    broadcast probe join, plus a per-(query, doc) matched-term count
+    compared against the query's distinct-term count. A query with any OOV
+    term returns no rows (it can never be fully matched) — the DuckDB
+    oracle agrees by construction. All built-in expressions, codegen'd.
+    """
+    qt = query_terms(queries)
+    need = qt.groupBy("query_id").agg(F.count("*").alias("n_need"))  # qt is deduped
+    cand = tf.join(F.broadcast(qt), "term")
+    cand = cand.join(F.broadcast(dictionary.select("term", "idf")), "term")
+    cand = cand.join(dl, "doc_id").withColumn("avgdl", F.lit(float(avgdl)))
+    scored = (
+        cand.withColumn("partial", bm25_partial_score(cfg))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("n_match"))
+        .join(F.broadcast(need), "query_id")
+        .filter(F.col("n_match") == F.col("n_need"))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k, cfg)

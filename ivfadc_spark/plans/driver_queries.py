@@ -149,6 +149,16 @@ def q_bm25_df(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_bm25_conjunctive(spark, sf_dir):
+    """AND-semantics top-10: docs containing every query term (the standard
+    search tightening the OR-only reference lacks)."""
+    from ivfadc_spark.operators.query import bm25_topk_conjunctive
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    res = bm25_topk_conjunctive(_queries_df(spark), tf, d, dl, cs["avgdl"], k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_bm25_wand(spark, sf_dir):
     """Flagship through the FULL engine: documents -> transcripts shape ->
     checkpointed index build -> compressed segment -> block-max WAND scan.
@@ -643,6 +653,30 @@ SELECT n::BIGINT AS n_docs, round(avgdl, 6) AS avgdl FROM stats
 ORACLES["bm25_topk_dataframe"] = _BM25_TOPK_SQL.format(values=_values_sql())
 ORACLES["bm25_topk_wand"] = _BM25_TOPK_SQL.format(values=_values_sql())
 
+# AND-semantics: a doc must contain EVERY query term (n_match counts matched
+# distinct terms — qt is deduped — against the query's total distinct tokens
+# INCLUDING out-of-vocabulary ones, so an OOV query matches nothing)
+ORACLES["bm25_topk_conjunctive"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+qt_n AS (SELECT query_id, count(*) AS n_need FROM qt GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score,
+         count(*) AS n_match
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+conj AS (SELECT s.query_id, s.doc_id, s.score FROM scored s
+         JOIN qt_n USING(query_id) WHERE s.n_match = qt_n.n_need),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM conj)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
 ORACLES["doc_map_topk_join"] = f"""
 WITH base AS ({_BM25_TOPK_SQL.format(values=_values_sql())})
 SELECT query_id, rank, format('conv-{{:06d}}', (doc_id // 8)::BIGINT) AS conv_id,
@@ -925,6 +959,7 @@ QUERIES = {
     "fulltext_doc_lengths": q_doc_lengths,
     "fulltext_corpus_stats": q_corpus_stats,
     "bm25_topk_dataframe": q_bm25_df,
+    "bm25_topk_conjunctive": q_bm25_conjunctive,
     "bm25_topk_wand": q_bm25_wand,
     "doc_map_topk_join": q_doc_map_join,
     "segment_union_df": q_segment_union,
