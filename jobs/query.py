@@ -23,6 +23,16 @@ def main() -> None:
     ap.add_argument("--index", required=True, help="index dir (contains segment/) or segment dir")
     ap.add_argument("-q", "--query", action="append", required=True)
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument(
+        "--mode", choices=["or", "and"], default="or",
+        help="or = rank any doc matching any term (reference semantics); "
+        "and = conjunctive, doc must contain every query term",
+    )
+    ap.add_argument(
+        "--path", choices=["indexed", "batch"], default="indexed",
+        help="indexed = block-max MaxScore (low latency); batch = doc-sharded "
+        "TAAT (large query batches). or-mode only",
+    )
     ap.add_argument("--out", help="optional parquet output path")
     args = ap.parse_args()
 
@@ -35,7 +45,29 @@ def main() -> None:
         pd.DataFrame({"query_id": range(len(args.query)), "text": args.query}),
         schema="query_id long, text string",
     )
-    res = bm25_topk_indexed(queries, seg, k=args.k).join(seg.doc_map, "doc_id")
+    if args.mode == "and":
+        from pyspark.sql import functions as F
+
+        from ivfadc_spark.operators.postings import decode_blocks
+        from ivfadc_spark.operators.query import bm25_topk_conjunctive, query_terms
+
+        terms = [r["term"] for r in query_terms(queries).distinct().collect()]
+        dec = decode_blocks(seg.blocks.filter(F.col("term").isin(terms)))
+        out = bm25_topk_conjunctive(
+            queries,
+            dec.select("term", "doc_id", "tf"),
+            seg.dictionary,
+            dec.select("doc_id", "dl").distinct(),
+            seg.meta["avgdl"],
+            k=args.k,
+        )
+    elif args.path == "batch":
+        from ivfadc_spark.operators.wand import bm25_topk_batch
+
+        out = bm25_topk_batch(queries, seg, k=args.k)
+    else:
+        out = bm25_topk_indexed(queries, seg, k=args.k)
+    res = out.join(seg.doc_map, "doc_id")
     res = res.select("query_id", "rank", "doc_id", "score", "conv_id", "turn_idx")
     if args.out:
         res.write.mode("overwrite").parquet(args.out)
