@@ -205,6 +205,45 @@ def q_segment_union(spark, sf_dir):
     )
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """Structured Streaming segment ingest, oracle-checked end-to-end: an
+    availableNow file stream builds one immutable segment per micro-batch
+    (foreachBatch, LSM append model); every doc lands in exactly one
+    segment, so the summed per-term (df, cf) across segment dictionaries
+    must equal the batch corpus dictionary — the same invariant as
+    segment_union_df, proved through the streaming path."""
+    import shutil
+    import tempfile
+
+    from ivfadc_spark.config import EngineConfig
+    from ivfadc_spark.operators.segments import Segment
+    from ivfadc_spark.sources.transcripts import transcripts_from_documents
+    from ivfadc_spark.streaming.ingest import list_stream_segments, stream_build_segments
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tx = transcripts_from_documents(docs)
+    base = tempfile.mkdtemp(prefix="drv_stream_")
+    try:
+        inp, out = os.path.join(base, "in"), os.path.join(base, "out")
+        # 16 input files @ maxFilesPerTrigger=8 -> 2 micro-batches/segments
+        tx.repartition(16).write.mode("overwrite").parquet(inp)
+        q = stream_build_segments(spark, inp, out, cfg=EngineConfig(block_size=64))
+        q.awaitTermination()
+        segs = [Segment(spark, p) for p in list_stream_segments(out)]
+        assert len(segs) >= 2, "expected multiple micro-batch segments"
+        dicts = segs[0].dictionary.select("term", "df", "cf")
+        for s in segs[1:]:
+            dicts = dicts.unionByName(s.dictionary.select("term", "df", "cf"))
+        merged = (
+            dicts.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+        )
+        pdf = merged.toPandas()  # materialize before the temp dirs vanish
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema="term string, df long, cf long")
+
+
 def q_topk_docs_per_term(spark, sf_dir):
     """T1 window form: top-3 docs by tf per term, ties by doc_id."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -692,6 +731,10 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
 ) GROUP BY term
 """
 
+# the streaming LSM append preserves the same invariant: summed per-term
+# (df, cf) over micro-batch segments == the batch corpus dictionary
+ORACLES["streaming_ingest"] = ORACLES["segment_union_df"]
+
 ORACLES["topk_docs_per_term"] = f"""
 WITH tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
@@ -963,6 +1006,7 @@ QUERIES = {
     "bm25_topk_wand": q_bm25_wand,
     "doc_map_topk_join": q_doc_map_join,
     "segment_union_df": q_segment_union,
+    "streaming_ingest": q_streaming_ingest,
     "topk_docs_per_term": q_topk_docs_per_term,
     "lineitem_agg": q_lineitem_agg,
     "revenue_per_nation": q_revenue_per_nation,
