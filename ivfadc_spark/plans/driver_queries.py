@@ -617,6 +617,34 @@ _IVF_NCENTROIDS = 16
 _IVF_NPROBE = 2
 
 
+def q_kmeans_recompute(spark, sf_dir):
+    """A1: one Lloyd iteration — assign every embedding to its nearest seed
+    centroid (J2 theta-join: broadcast codebook + argmax), then recompute
+    per-cell per-dimension means. The core update of mode-1 codebook
+    training (/root/reference/Clustering.h:190-215: sum+count+divide)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("b")
+    )
+    sim = e.select("vec_id", "v", F.col("v").alias("a")).crossJoin(
+        F.broadcast(cent)
+    ).withColumn("cos_c", _cosine_cols())
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    assigned = (
+        sim.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("cell", "v")
+    )
+    return (
+        assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.count("*").cast("long").alias("n_members"), F.round(F.avg("val"), 6).alias("mean_val"))
+        .select("cell", F.col("dim").cast("int").alias("dim"), "n_members", "mean_val")
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF-probed ANN — the direct IVFADC graft on embeddings: a coarse
     codebook (deterministic: vectors vec_id < 16) keys inverted cell lists;
@@ -970,6 +998,25 @@ FROM a JOIN b USING(bucket)
 WHERE doc_a < doc_b AND {_COS} >= {_NEARDUP_THRESHOLD}
 """
 
+ORACLES["kmeans_recompute"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS b FROM e WHERE vec_id < {_IVF_NCENTROIDS}),
+sim AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, cent.b) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.b, cent.b)))
+           DESC, cent.cell) AS r
+  FROM e, cent
+),
+assigned AS (SELECT cell, v FROM sim WHERE r = 1),
+dims AS (SELECT unnest(generate_series(1, (SELECT array_length(v) FROM assigned LIMIT 1))) AS gs),
+exploded AS (SELECT cell, gs - 1 AS dim, v[gs::INT] AS val FROM assigned CROSS JOIN dims)
+SELECT cell, dim::INT AS dim, count(*)::BIGINT AS n_members,
+       round(avg(val), 6) AS mean_val
+FROM exploded GROUP BY cell, dim
+"""
+
 ORACLES["knn_ivf_probe"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cell, v AS b FROM e WHERE vec_id < {_IVF_NCENTROIDS}),
@@ -1029,4 +1076,5 @@ QUERIES = {
     "fingerprint_rolling": q_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf_probe": q_knn_ivf,
+    "kmeans_recompute": q_kmeans_recompute,
 }
