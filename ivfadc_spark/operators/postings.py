@@ -36,8 +36,24 @@ from ivfadc_spark.functions.codecs import delta_encode, varint_encode
 
 BLOCKS_SCHEMA = (
     "term string, salt int, block_id int, n int, first_doc long, last_doc long, "
-    "doc_ids binary, tfs binary, dls binary, max_impact double, bytes long"
+    "doc_ids binary, tfs binary, dls binary, max_impact double, sum_tf long, bytes long"
 )
+
+# per-RecordBatch byte budget for binary columns: Arrow binary() offsets are
+# int32, so a batch whose concatenated varint streams exceed 2^31 bytes would
+# silently wrap (corrupt blocks). Chunking the emitted batches keeps every
+# column's offset span well under the limit.
+_BATCH_BYTE_LIMIT = (1 << 31) - (1 << 20)
+
+
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized multi-range index: concat(arange(s, s+l) for s, l in zip)."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.zeros(0, dtype=np.int64)
+    offs = np.cumsum(lens) - lens
+    rel = np.arange(tot, dtype=np.int64) - np.repeat(offs, lens)
+    return rel + np.repeat(starts, lens)
 
 
 def salted_tf(
@@ -195,47 +211,64 @@ def build_blocks(
         diffs = ids[1:] - ids[:-1]
         deltas[1:] = diffs.astype(np.uint64)
         deltas[bstart] = ids[bstart].astype(np.uint64)
-        # impact + per-block max
+        # impact + per-block stats
         impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
         max_imp = np.maximum.reduceat(impact, bstart)
+        sum_tf = np.add.reduceat(tfs, bstart)
         # encode whole columns once; blocks tile each stream contiguously,
         # so the per-block binary column is a ZERO-COPY Arrow BinaryArray
         # over (offsets, stream) — no per-block python bytes objects at all
-        enc = {}
+        streams, col_lo, col_hi = {}, {}, {}
         tot_bytes = np.zeros(bstart.size, dtype=np.int64)
         for name, vals in (("doc_ids", deltas), ("tfs", tfs.astype(np.uint64)), ("dls", dls.astype(np.uint64))):
             stream, nb = varint_encode_with_lengths(vals)
             ends = np.cumsum(nb)
             lo = (ends - nb)[bstart]
             hi = ends[bend - 1]
-            offsets = np.empty(bstart.size + 1, dtype=np.int32)
-            offsets[:-1] = lo
-            offsets[-1] = hi[-1]
-            enc[name] = pa.Array.from_buffers(
-                pa.binary(),
-                bstart.size,
-                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(stream)],
-            )
+            streams[name], col_lo[name], col_hi[name] = stream, lo, hi
             tot_bytes += hi - lo
-        yield pa.RecordBatch.from_arrays(
-            [
-                vocab.take(pa.array(codes[bstart])),
-                pa.array(salts[bstart], type=pa.int32()),
-                pa.array(block_id.astype(np.int32)),
-                pa.array(n_blk.astype(np.int32)),
-                pa.array(ids[bstart], type=pa.int64()),
-                pa.array(ids[bend - 1], type=pa.int64()),
-                enc["doc_ids"],
-                enc["tfs"],
-                enc["dls"],
-                pa.array(max_imp, type=pa.float64()),
-                pa.array(tot_bytes, type=pa.int64()),
-            ],
-            names=[
-                "term", "salt", "block_id", "n", "first_doc", "last_doc",
-                "doc_ids", "tfs", "dls", "max_impact", "bytes",
-            ],
-        )
+        # chunk emitted batches so every binary column's int32 offsets stay
+        # valid: a partition whose concatenated streams exceed 2^31 bytes
+        # (plausible at large-corpus scale) would otherwise wrap silently
+        cum = np.cumsum(tot_bytes)
+        edges = [0]
+        while edges[-1] < bstart.size:
+            base = cum[edges[-1] - 1] if edges[-1] else 0
+            j = int(np.searchsorted(cum, base + _BATCH_BYTE_LIMIT, side="right"))
+            edges.append(max(j, edges[-1] + 1))
+        for a, z in zip(edges[:-1], edges[1:]):
+            enc = {}
+            for name in ("doc_ids", "tfs", "dls"):
+                clo, chi = int(col_lo[name][a]), int(col_hi[name][z - 1])
+                offsets = np.empty(z - a + 1, dtype=np.int32)
+                offsets[:-1] = col_lo[name][a:z] - clo
+                offsets[-1] = chi - clo
+                enc[name] = pa.Array.from_buffers(
+                    pa.binary(),
+                    z - a,
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(memoryview(streams[name])[clo:chi])],
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vocab.take(pa.array(codes[bstart[a:z]])),
+                    pa.array(salts[bstart[a:z]], type=pa.int32()),
+                    pa.array(block_id[a:z].astype(np.int32)),
+                    pa.array(n_blk[a:z].astype(np.int32)),
+                    pa.array(ids[bstart[a:z]], type=pa.int64()),
+                    pa.array(ids[bend[a:z] - 1], type=pa.int64()),
+                    enc["doc_ids"],
+                    enc["tfs"],
+                    enc["dls"],
+                    pa.array(max_imp[a:z], type=pa.float64()),
+                    pa.array(sum_tf[a:z].astype(np.int64)),
+                    pa.array(tot_bytes[a:z], type=pa.int64()),
+                ],
+                names=[
+                    "term", "salt", "block_id", "n", "first_doc", "last_doc",
+                    "doc_ids", "tfs", "dls", "max_impact", "sum_tf", "bytes",
+                ],
+            )
 
     # 4 waves: encode task sizes vary ~2x (Zipf vocab), so finer tasks keep
     # the last wave from stalling cores (measured: the 2-wave tail cost ~30%
@@ -303,11 +336,97 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
 
 def block_metrics(blocks: DataFrame) -> DataFrame:
     """Per-term build metrics: postings, bytes, salts — the ``voc_sz`` analog
-    (/root/reference/Index.cpp:144-148) plus compression accounting."""
+    (/root/reference/Index.cpp:144-148) plus compression accounting.
+
+    ``postings`` doubles as the term's df (one posting per (doc, term)) and
+    ``cf`` is the collection frequency — which is what lets the build derive
+    the dictionary FROM the encoded blocks instead of a separate tf pre-pass
+    (:func:`ivfadc_spark.operators.stats.dictionary_from_metrics`)."""
     return blocks.groupBy("term").agg(
         F.sum("n").alias("postings"),
         F.sum("bytes").alias("bytes"),
         F.countDistinct("salt").alias("n_salts"),
         F.count("*").alias("n_blocks"),
         F.max("max_impact").alias("max_impact"),
+        F.sum("sum_tf").alias("cf"),
     )
+
+
+def remap_blocks(blocks: DataFrame, offset: int) -> DataFrame:
+    """Shift every docID in a blocks dataset by ``offset`` WITHOUT decoding.
+
+    A block's varint stream starts with the ABSOLUTE first docID
+    (``encode_partition`` resets the delta at each block start), so adding a
+    global offset rewrites only that leading varint — an O(bytes) splice,
+    never a decode→sort→re-encode. This is the positional docID remap the
+    reference merge does on its entry log
+    (/root/reference/SearchEngine.cpp:250-287), applied to compressed blocks.
+
+    Salts stay valid: a doc's shard key was derived from its ORIGINAL id, the
+    id mapping is 1:1, so each doc's postings still land in exactly one salt
+    group consistently across terms (all the batch scan requires).
+    """
+    if int(offset) == 0:
+        return blocks
+    off = int(offset)
+    schema = blocks.schema
+    names = [f.name for f in schema.fields]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ivfadc_spark.functions.codecs import (
+            varint_encode_with_lengths,
+            varint_lengths,
+        )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            first = tbl.column("first_doc").to_numpy(zero_copy_only=False).astype(np.int64)
+            arr = tbl.column("doc_ids").combine_chunks()
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            lo = offs[arr.offset : arr.offset + len(arr)].astype(np.int64)
+            hi = offs[arr.offset + 1 : arr.offset + len(arr) + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            skip = varint_lengths(first.astype(np.uint64))  # old leading varint
+            pstream_b, pnb = varint_encode_with_lengths((first + off).astype(np.uint64))
+            pstream = np.frombuffer(pstream_b, dtype=np.uint8)
+            pends = np.cumsum(pnb)
+            rest = hi - lo - skip
+            new_len = pnb + rest
+            nends = np.cumsum(new_len)
+            nlo = nends - new_len
+            if nends[-1] >= _BATCH_BYTE_LIMIT:
+                raise RuntimeError("remap_blocks: batch exceeds int32 offset budget")
+            out = np.empty(int(nends[-1]), dtype=np.uint8)
+            out[_ranges(nlo, pnb)] = pstream[_ranges(pends - pnb, pnb)]
+            out[_ranges(nlo + pnb, rest)] = data[_ranges(lo + skip, rest)]
+            offsets32 = np.empty(len(arr) + 1, dtype=np.int32)
+            offsets32[:-1] = nlo
+            offsets32[-1] = nends[-1]
+            new_doc_ids = pa.Array.from_buffers(
+                pa.binary(), len(arr),
+                [None, pa.py_buffer(offsets32.tobytes()), pa.py_buffer(out.tobytes())],
+            )
+            cols = []
+            for name in names:
+                if name == "doc_ids":
+                    cols.append(new_doc_ids)
+                elif name in ("first_doc", "last_doc"):
+                    cols.append(pa.array(
+                        tbl.column(name).to_numpy(zero_copy_only=False).astype(np.int64) + off,
+                        type=pa.int64(),
+                    ))
+                elif name == "bytes":
+                    cols.append(pa.array(
+                        tbl.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+                        + (pnb - skip),
+                        type=pa.int64(),
+                    ))
+                else:
+                    cols.append(tbl.column(name).combine_chunks())
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return blocks.mapInArrow(gen, schema)

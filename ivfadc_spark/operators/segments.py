@@ -1,4 +1,4 @@
-"""Segment layout, discovery, and log-structured merge.
+"""Segment layout, discovery, multi-segment federation, and O(bytes) merge.
 
 Reference: one segment = a directory of three files — ``idx`` (doc-ordered
 entry log), ``nl`` (doc names), ``voc_sz`` (posting lengths)
@@ -9,18 +9,27 @@ docIDs into one global space by positional offset
 Ours: one segment = a parquet dataset directory::
 
     <path>/blocks/      posting blocks, partitioned by term_bucket
-    <path>/doc_map/     (doc_id, conv_id, turn_idx)        [nl analog]
-    <path>/dict/        (term, df, cf, idf)                 [voc_sz analog]
+    <path>/doc_map/     (doc_id, conv_id, turn_idx, dl)       [nl analog]
+    <path>/dict/        (term, df, cf, idf)                   [voc_sz analog]
     <path>/metrics/     per-term build metrics
-    <path>/meta.json    n_docs, avgdl, doc_base, lineage, config
+    <path>/meta.json    n_docs, avgdl, doc_space, lineage, config
 
 docIDs are data-derived within a segment (dense rank over the segment's own
 rows); cross-segment remap adds each segment's ``doc_base`` offset — the
 same offset trick as the reference, but recorded in metadata instead of
-depending on load order. Merge is log-structured: decode -> union (with
-offset) -> re-encode blocks; the merged dictionary recomputes idf from the
-summed df (idf is NOT additive), which is why blocks store idf-less
-max_impact.
+depending on load order. Offsets use ``doc_space`` (TOTAL id space,
+including zero-token docs), never the BM25 ``n_docs``.
+
+Two ways to see many segments as one corpus:
+
+- :class:`SegmentSet` — query-time federation, NO compaction: blocks are
+  remapped lazily (an O(bytes) leading-varint splice, postings.remap_blocks),
+  idf/avgdl recomputed from summed per-segment stats. Matches the
+  reference's query-time union (/root/reference/SearchEngine.cpp:94-102).
+- :func:`merge_segments` — LSM compaction: the SAME remapped blocks written
+  back once. O(bytes) concat+splice; postings are never decoded, sorted, or
+  re-encoded. The merged dictionary recomputes idf from the summed df (idf
+  is NOT additive), which is why blocks store idf-less max_impact.
 """
 
 from __future__ import annotations
@@ -33,7 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ivfadc_spark.config import DEFAULT, EngineConfig
-from ivfadc_spark.operators.postings import build_blocks, decode_blocks
+from ivfadc_spark.operators.postings import remap_blocks
+
+
+def _idf_col(n_docs: int):
+    return F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
 
 
 class Segment:
@@ -60,11 +75,130 @@ class Segment:
         return self.spark.read.parquet(os.path.join(self.path, "metrics"))
 
     @property
+    def doc_space(self) -> int:
+        """Total doc_id space (max id + 1; ids are dense over ALL transcript
+        rows, including zero-token docs — so this can exceed the BM25
+        ``n_docs``). Key stride / offset base for batch scans and merges."""
+        ds = self.meta.get("doc_space")
+        if ds is None:  # v1 segment: derive once and cache
+            ds = self.meta["doc_space"] = self.doc_map.count()
+        return int(ds)
+
+    @property
     def dict_pdf(self):
         """Driver-cached pandas dictionary (term, df, cf, idf) — the resident
         coarse-codebook analog (/root/reference/Vocab.cpp:152-166: codebooks
         are always fully loaded). Used by the batch query broker to prep
         query terms without a Spark round-trip; vocabulary-sized."""
+        if not hasattr(self, "_dict_pdf"):
+            self._dict_pdf = self.dictionary.toPandas()
+        return self._dict_pdf
+
+
+class SegmentSet:
+    """N segments queried as ONE corpus — no compaction required (U1 at
+    query time, /root/reference/SearchEngine.cpp:94-102,221-297).
+
+    Presents the same surface as :class:`Segment` (blocks / dictionary /
+    doc_map / meta / dict_pdf), so ``bm25_topk_indexed`` and
+    ``bm25_topk_batch`` run against it unchanged:
+
+    - ``blocks``: per-segment blocks with docIDs shifted by the segment's
+      cumulative ``doc_space`` offset — a lazy O(bytes) leading-varint
+      splice (postings.remap_blocks), nothing is decoded or re-encoded.
+    - ``dictionary``: per-term df/cf summed across segments; idf recomputed
+      from the union's n_docs (idf is not additive).
+    - ``meta``: n_docs summed, avgdl token-weighted, doc_space summed.
+
+    All segments must share doc_shards / term_buckets / k1 / b (the score
+    and layout contract); enforced at construction.
+    """
+
+    def __init__(self, spark: SparkSession, paths: list[str]):
+        self.spark = spark
+        self.segments = [p if isinstance(p, Segment) else Segment(spark, p) for p in paths]
+        if not self.segments:
+            raise ValueError("SegmentSet needs at least one segment")
+        c0 = self.segments[0].meta.get("config", {})
+        for s in self.segments[1:]:
+            c = s.meta.get("config", {})
+            for key in ("doc_shards", "term_buckets", "k1", "b"):
+                if c.get(key) != c0.get(key):
+                    raise ValueError(
+                        f"SegmentSet: segment {s.path} config {key}={c.get(key)} "
+                        f"differs from {c0.get(key)}"
+                    )
+        self.offsets = []
+        acc, n_docs, tokens = 0, 0, 0.0
+        for s in self.segments:
+            self.offsets.append(acc)
+            acc += s.doc_space
+            n_docs += s.meta["n_docs"]
+            tokens += s.meta["avgdl"] * s.meta["n_docs"]
+        self.meta = {
+            "n_docs": int(n_docs),
+            "avgdl": (tokens / n_docs) if n_docs else 0.0,
+            "doc_space": int(acc),
+            "doc_base": 0,
+            "config": c0,
+            "lineage": {
+                "segments": [
+                    {"path": s.path, "doc_base": o}
+                    for s, o in zip(self.segments, self.offsets)
+                ]
+            },
+        }
+
+    @property
+    def blocks(self) -> DataFrame:
+        out = None
+        for s, off in zip(self.segments, self.offsets):
+            b = remap_blocks(s.blocks, off)
+            out = b if out is None else out.unionByName(b)
+        return out
+
+    @property
+    def doc_map(self) -> DataFrame:
+        out = None
+        for s, off in zip(self.segments, self.offsets):
+            d = s.doc_map.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    @property
+    def dictionary(self) -> DataFrame:
+        # df/cf are additive across segments (disjoint doc sets); idf is not
+        out = None
+        for s in self.segments:
+            d = s.dictionary.select("term", "df", "cf")
+            out = d if out is None else out.unionByName(d)
+        return (
+            out.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .withColumn("idf", _idf_col(self.meta["n_docs"]))
+        )
+
+    @property
+    def metrics(self) -> DataFrame:
+        out = None
+        for s in self.segments:
+            mt = s.metrics
+            out = mt if out is None else out.unionByName(mt)
+        return out.groupBy("term").agg(
+            F.sum("postings").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.sum("n_salts").alias("n_salts"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.max("max_impact").alias("max_impact"),
+            F.sum("cf").alias("cf"),
+        )
+
+    @property
+    def doc_space(self) -> int:
+        return int(self.meta["doc_space"])
+
+    @property
+    def dict_pdf(self):
         if not hasattr(self, "_dict_pdf"):
             self._dict_pdf = self.dictionary.toPandas()
         return self._dict_pdf
@@ -78,20 +212,24 @@ def write_segment(
     metrics: DataFrame | None,
     n_docs: int,
     avgdl: float,
+    doc_space: int | None = None,
     doc_base: int = 0,
     lineage: dict | None = None,
     cfg: EngineConfig = DEFAULT,
+    blocks_prepartitioned: bool = False,
 ) -> None:
     """Write a complete segment. term_bucket partitioning gives the query
     side partition pruning on probed terms (O1 inverted-file pruning: only
-    buckets containing query terms are scanned)."""
+    buckets containing query terms are scanned). With
+    ``blocks_prepartitioned`` the blocks already carry a ``term_bucket``
+    column from their source layout and are written WITHOUT a shuffle."""
     os.makedirs(path, exist_ok=True)
-    (
-        blocks.withColumn(
+    if not blocks_prepartitioned:
+        blocks = blocks.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
-        )
-        .repartition("term_bucket")
-        .write.mode("overwrite")
+        ).repartition("term_bucket")
+    (
+        blocks.write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "blocks"))
     )
@@ -106,14 +244,17 @@ def write_segment(
             blocks.sparkSession.read.parquet(os.path.join(path, "blocks"))
         )
     metrics.write.mode("overwrite").parquet(os.path.join(path, "metrics"))
+    if doc_space is None:
+        doc_space = int(n_docs)
     meta = {
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
+        "doc_space": int(doc_space),
         "doc_base": int(doc_base),
         "created_at": time.time(),
         "lineage": lineage or {},
         "config": json.loads(cfg.to_json()),
-        "format_version": 1,
+        "format_version": 2,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -125,60 +266,41 @@ def merge_segments(
     out_path: str,
     cfg: EngineConfig = DEFAULT,
 ) -> Segment:
-    """Log-structured multi-way merge (U1 analog) with docID offset remap.
+    """LSM compaction by O(bytes) splice — the reference's merge cost model
+    (/root/reference/SearchEngine.cpp:250-287: concat entry logs + offset).
 
-    Offsets are assigned cumulatively in the given order (like the
-    reference's load loop, /root/reference/SearchEngine.cpp:94-102) but
-    recorded in the merged meta so the mapping is reproducible.
+    Postings are NEVER decoded: each input block's docID stream is remapped
+    by rewriting only its leading varint (remap_blocks), and blocks keep
+    their source term_bucket layout, so the write is shuffle-free (each
+    segment appends its bucket-aligned files). Only the vocabulary-sized
+    dictionary (summed df/cf, recomputed idf) and the doc_map offsets are
+    recomputed. Cost is proportional to the BYTES of the inputs — compare
+    the v1 merge, which decoded, re-sorted, and re-encoded every posting.
     """
-    segs = [Segment(spark, p) for p in paths]
-    offsets, acc = [], 0
-    for s in segs:
-        offsets.append(acc)
-        acc += s.meta["n_docs"]
-
-    from ivfadc_spark.operators.postings import salted_tf
-
-    tf_parts, dm_parts, tot_len = [], [], 0.0
-    for s, off in zip(segs, offsets):
-        dec = decode_blocks(s.blocks).withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(off)).cast("long")
-        )
-        tf_parts.append(dec)
-        dm_parts.append(
-            s.doc_map.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
-        )
-        tot_len += s.meta["avgdl"] * s.meta["n_docs"]
-
-    tf_all = tf_parts[0]
-    for p in tf_parts[1:]:
-        tf_all = tf_all.unionByName(p)
-    dm_all = dm_parts[0]
-    for p in dm_parts[1:]:
-        dm_all = dm_all.unionByName(p)
-
-    n_docs = acc
-    avgdl = tot_len / max(n_docs, 1)
-    # idf is not additive: recompute from merged df
-    merged_dict = tf_all.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    ).withColumn(
-        "idf",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-    )
-    # decoded rows already carry dl — no per-doc join needed (salted_tf dl=None path)
-    salted = salted_tf(tf_all, None, merged_dict, cfg)
-    blocks = build_blocks(salted, avgdl, cfg, dictionary=merged_dict)
-    write_segment(
-        out_path,
-        blocks,
-        dm_all,
-        merged_dict,
-        None,
-        n_docs,
-        avgdl,
-        doc_base=0,
-        lineage={"merged_from": [{"path": p, "doc_base": o} for p, o in zip(paths, offsets)]},
-        cfg=cfg,
-    )
+    ss = SegmentSet(spark, paths)
+    os.makedirs(out_path, exist_ok=True)
+    p_blocks = os.path.join(out_path, "blocks")
+    # per-segment append: inputs are already term_bucket-partitioned, so each
+    # write task streams its own buckets — no exchange, no wide dependency
+    for i, (s, off) in enumerate(zip(ss.segments, ss.offsets)):
+        remap_blocks(s.blocks, off).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).partitionBy("term_bucket").parquet(p_blocks)
+    ss.doc_map.write.mode("overwrite").parquet(os.path.join(out_path, "doc_map"))
+    ss.dictionary.write.mode("overwrite").parquet(os.path.join(out_path, "dict"))
+    ss.metrics.write.mode("overwrite").parquet(os.path.join(out_path, "metrics"))
+    meta = {
+        "n_docs": ss.meta["n_docs"],
+        "avgdl": ss.meta["avgdl"],
+        "doc_space": ss.meta["doc_space"],
+        "doc_base": 0,
+        "created_at": time.time(),
+        "lineage": {"merged_from": ss.meta["lineage"]["segments"]},
+        # the layout contract (doc_shards, term_buckets, k1, b) comes from
+        # the INPUT segments — SegmentSet enforced their consistency
+        "config": ss.meta["config"] or json.loads(cfg.to_json()),
+        "format_version": 2,
+    }
+    with open(os.path.join(out_path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
     return Segment(spark, out_path)

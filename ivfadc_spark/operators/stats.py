@@ -133,6 +133,25 @@ def dictionary(tf: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
+def dictionary_from_metrics(metrics: DataFrame, n_docs: int) -> DataFrame:
+    """Term dictionary derived from per-term block metrics — no tf pre-pass.
+
+    In the fused build the dictionary is a BY-PRODUCT of the encoded segment:
+    df = postings-per-term (each posting is one (doc, term) pair) and cf is
+    summed from per-block tf totals, so the only full-corpus passes the build
+    makes are the tokenize map and the one (term, salt) exchange. Output is
+    row-identical to :func:`dictionary` on the same corpus.
+    """
+    return metrics.select(
+        "term",
+        F.col("postings").alias("df"),
+        F.col("cf").alias("cf"),
+    ).withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    )
+
+
 def corpus_stats(dl: DataFrame) -> dict:
     """N and avgdl as plain Python (two scalars; one tiny job)."""
     row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]

@@ -37,17 +37,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ivfadc_spark.config import DEFAULT, EngineConfig
-from ivfadc_spark.functions.codecs import delta_decode, varint_decode
+from ivfadc_spark.functions.codecs import varint_decode
 from ivfadc_spark.operators.query import query_terms
 from ivfadc_spark.operators.segments import Segment
 
 RESULT_SCHEMA = "query_id long, rank int, doc_id long, score double"
 
+# auto collect_prune threshold: a queries x terms set at or under this many
+# rows is collected to the driver for static scan pruning (cheap — it is
+# query metadata, never postings); above it the no-collect broadcast
+# semi-join path keeps the pipeline fully distributed
+_COLLECT_PRUNE_MAX_ROWS = 20_000
+
+
+def _decode_block_rows(rows: pd.DataFrame):
+    """Decode ALL given block rows in three codec calls (varint streams are
+    self-delimiting and concatenable); absolute docIDs via segmented cumsum
+    reset at block starts. Returns (ids, tf, dl) float64/int64 arrays."""
+    counts = rows["n"].to_numpy(np.int64)
+    total = int(counts.sum())
+    deltas = varint_decode(b"".join(bytes(x) for x in rows["doc_ids"]), total).astype(np.int64)
+    tf = varint_decode(b"".join(bytes(x) for x in rows["tfs"]), total).astype(np.float64)
+    dl = varint_decode(b"".join(bytes(x) for x in rows["dls"]), total).astype(np.float64)
+    c = np.cumsum(deltas)
+    bstarts = np.cumsum(counts) - counts
+    base = np.where(bstarts > 0, c[bstarts - 1], 0)
+    ids = c - np.repeat(base, counts)
+    return ids, tf, dl
+
 
 def _scan_one_query(
     pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float
 ) -> pd.DataFrame:
-    """Exact MaxScore scan over one query's candidate blocks (numpy)."""
+    """Exact MaxScore scan over one query's candidate blocks (numpy).
+
+    Whole-column decode per term — no per-block python (the v1 form paid a
+    ~0.3ms codec call per block via iterrows, unbounded for head terms)."""
 
     def _impact(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
         return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -73,16 +98,10 @@ def _scan_one_query(
         idf = float(rows["idf"].iloc[0])
         R = float(suffix[j])
         if not restricted:
-            ids_parts, sc_parts = [], []
-            for _, r in rows.iterrows():
-                n = int(r["n"])
-                ids_parts.append(delta_decode(bytes(r["doc_ids"]), n))
-                tf = varint_decode(bytes(r["tfs"]), n).astype(np.float64)
-                dl = varint_decode(bytes(r["dls"]), n).astype(np.float64)
-                sc_parts.append(idf * _impact(tf, dl))
-            if ids_parts:
-                all_ids = np.concatenate([acc_ids] + ids_parts)
-                all_sc = np.concatenate([acc_sc] + sc_parts)
+            ids, tf, dl = _decode_block_rows(rows)
+            if ids.size:
+                all_ids = np.concatenate([acc_ids, ids])
+                all_sc = np.concatenate([acc_sc, idf * _impact(tf, dl)])
                 acc_ids, inv = np.unique(all_ids, return_inverse=True)
                 acc_sc = np.zeros(acc_ids.size, dtype=np.float64)
                 np.add.at(acc_sc, inv, all_sc)
@@ -96,20 +115,20 @@ def _scan_one_query(
             if acc_ids.size == 0:
                 break
             lo, hi = int(acc_ids[0]), int(acc_ids[-1])
-            for _, r in rows.iterrows():
-                if int(r["last_doc"]) < lo or int(r["first_doc"]) > hi:
-                    continue  # block-max range skip
-                n = int(r["n"])
-                ids = delta_decode(bytes(r["doc_ids"]), n)
+            # block-max range skip, vectorized over the term's blocks
+            live = (rows["last_doc"].to_numpy(np.int64) >= lo) & (
+                rows["first_doc"].to_numpy(np.int64) <= hi
+            )
+            if live.any():
+                ids, tf, dl = _decode_block_rows(rows.loc[live])
                 pos = np.searchsorted(acc_ids, ids)
                 pos_ok = pos < acc_ids.size
                 hit = np.zeros(ids.size, dtype=bool)
                 hit[pos_ok] = acc_ids[pos[pos_ok]] == ids[pos_ok]
-                if not hit.any():
-                    continue
-                tf = varint_decode(bytes(r["tfs"]), n).astype(np.float64)[hit]
-                dl = varint_decode(bytes(r["dls"]), n).astype(np.float64)[hit]
-                acc_sc[pos[hit]] += idf * _impact(tf, dl)
+                if hit.any():
+                    # a doc holds ONE posting per term (one salt), so the
+                    # hit positions are unique — plain fancy-index add
+                    acc_sc[pos[hit]] += idf * _impact(tf[hit], dl[hit])
             # re-tighten θ and prune candidates with the bound over the
             # still-unprocessed terms (j+1..end) = suffix[j]
             if acc_ids.size >= k:
@@ -177,14 +196,26 @@ def bm25_topk_batch(
     blocks = segment.blocks.filter(F.col("term").isin(terms)).select(
         "term", "salt", "block_id", "n", "doc_ids", "tfs", "dls"
     )
-    n_shards = int(segment.meta["config"].get("doc_shards", cfg.doc_shards)) or 1
+    # the shard contract comes STRICTLY from the segment's own build config:
+    # a df-salted segment (doc_shards <= 0) splits one doc's postings across
+    # DIFFERENT salts per term, which would silently double-count scores here
+    n_shards = int(segment.meta.get("config", {}).get("doc_shards", 0) or 0)
+    if n_shards <= 0:
+        raise ValueError(
+            "bm25_topk_batch requires a segment built with uniform doc "
+            "sharding (cfg.doc_shards > 0); this segment was df-salted — "
+            "use bm25_topk_indexed instead"
+        )
     # range-partition on salt: hash repartition collides shard ids into
     # uneven tasks (~1/e of partitions empty, stragglers with 2-3 shards);
     # contiguous salt ranges give one-ish shard per task
     par = spark.sparkContext.defaultParallelism
     cand = blocks.repartitionByRange(min(n_shards, par * 2), "salt")
 
-    n_docs_total = int(segment.meta["n_docs"]) + 1  # key stride (doc_id < n_docs)
+    # key stride = the TOTAL doc id space (zero-token docs included: ids are
+    # dense over all transcript rows, so max doc_id can exceed the BM25
+    # n_docs — using n_docs here would alias adjacent queries' keys)
+    n_docs_total = int(segment.doc_space) + 1
     chunk_target = 262_144
 
     def _topk_per_query(qids, docs, scores, kk, doc_sorted=False):
@@ -329,10 +360,15 @@ def bm25_topk_indexed(
     segment: Segment,
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
-    collect_prune: bool = True,
+    collect_prune: bool | None = None,
 ) -> DataFrame:
     """Top-k BM25 from a compressed segment, rank-identical to the
-    DataFrame path. queries: (query_id, text)."""
+    DataFrame path. queries: (query_id, text).
+
+    ``collect_prune=None`` (default) auto-switches on the query-terms batch
+    size: small batches take the driver-side static-prune path, large ones
+    the no-collect broadcast semi-join path — the caller no longer has to
+    know which regime they are in."""
     k = k or cfg.top_k
     k1, b = float(cfg.k1), float(cfg.b)
     avgdl = float(segment.meta["avgdl"])
@@ -345,11 +381,19 @@ def bm25_topk_indexed(
         .join(F.broadcast(segment.dictionary.select("term", "idf")), "term")  # drops OOV
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
+    qt_rows = None
+    if collect_prune is None:
+        probe = qt.limit(_COLLECT_PRUNE_MAX_ROWS + 1).collect()
+        if len(probe) <= _COLLECT_PRUNE_MAX_ROWS:
+            collect_prune, qt_rows = True, probe  # limit() returned everything
+        else:
+            collect_prune = False
     if collect_prune:
         # small-batch / low-latency path: collect the (tiny) query-terms set
         # and prune the blocks scan STATICALLY — term_bucket partition prune
         # + term row-group min/max prune (O1 inverted-file pruning).
-        qt_rows = qt.collect()
+        if qt_rows is None:
+            qt_rows = qt.collect()
         if not qt_rows:
             return spark.createDataFrame([], RESULT_SCHEMA)
         terms = sorted({r["term"] for r in qt_rows})

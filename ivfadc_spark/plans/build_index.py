@@ -6,16 +6,29 @@ Ours checkpoints every stage as a parquet dataset plus a manifest entry with
 lineage and metrics; ``resume=True`` re-enters a half-built index at the
 first incomplete stage (north_rule requirement).
 
-Stages::
+Stages (layout v2 — FUSED: the corpus is tokenized in the map stage and
+flows STRAIGHT into the (term, salt) exchange and the block encoder; there
+is no tf fact-table round-trip and no dictionary pre-pass)::
 
-    00_doc_map   doc_id assignment over (conv_id, turn_idx)    [nl analog]
-    01_tf        (doc_id, term, tf) + (doc_id, dl)             [entry log analog]
-    02_dict      term dictionary + corpus meta                 [codebook analog]
-    03_segment   posting blocks + metrics                      [idx/voc_sz analog]
+    00_doc_map   doc_id assignment + per-doc token count       [nl analog]
+                 -> segment/doc_map (doc_id, conv_id, turn_idx, dl)
+    01_blocks    tokenize -> salt -> exchange -> encode        [idx analog]
+                 -> segment/blocks
+    02_dict      dictionary DERIVED from block metrics         [voc_sz analog]
+                 -> segment/dict + segment/metrics + meta.json
 
-Each manifest entry records wall seconds, row counts, and the skew ratio of
-the stage's output partitions (max/mean rows per partition) — the scaled-up
+Deriving df/cf from the encoded blocks (block_metrics: postings == df,
+summed block tf == cf) is what makes the fusion legal: the v1 layout needed
+a tf pre-pass only to learn the vocabulary before encoding. n_docs/avgdl
+come from stage 00's doc_map aggregate (dl is a JVM-codegen'd token count,
+semantically identical to the Arrow tokenizer), so the encoder has avgdl
+before any posting exists.
+
+Each manifest entry records wall seconds and row counts — the scaled-up
 version of the reference's stage-boundary debug dumps (SURVEY.md §5.2).
+``doc_space`` (total doc_id space, INCLUDING zero-token docs) is recorded
+separately from the BM25 ``n_docs`` (docs with >=1 token): doc ids are dense
+over all transcript rows, so offsets/strides must use doc_space.
 """
 
 from __future__ import annotations
@@ -24,14 +37,18 @@ import json
 import os
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ivfadc_spark.config import DEFAULT, EngineConfig
+from ivfadc_spark.functions.tokenize import tokens_col
 from ivfadc_spark.operators import stats as S
-from ivfadc_spark.operators.postings import build_blocks, salted_tf
-from ivfadc_spark.operators.segments import Segment, write_segment
+from ivfadc_spark.operators.postings import block_metrics, build_blocks, salted_tf
+from ivfadc_spark.operators.segments import Segment
 from ivfadc_spark.sources.transcripts import assign_doc_ids, release_doc_ids
+
+LAYOUT_VERSION = 2
 
 
 def _manifest_path(out: str) -> str:
@@ -52,17 +69,6 @@ def _save_manifest(out: str, m: dict) -> None:
         json.dump(m, f, indent=2)
 
 
-def _ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Checkpoint datasets are small at test scale, so parquet reads coalesce
-    to ~1 input split (maxPartitionBytes) and starve the 32 cores. Re-spread
-    when under-partitioned; at production scale the files exceed the split
-    size and this is a no-op."""
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
-        return df.repartition(par)
-    return df
-
-
 def _skew_ratio(df: DataFrame) -> float:
     """max/mean rows per partition of the final plan — straggler indicator."""
     sizes = (
@@ -73,6 +79,16 @@ def _skew_ratio(df: DataFrame) -> float:
         .collect()[0]
     )
     return float(sizes["mx"] / sizes["mean"]) if sizes["mean"] else 1.0
+
+
+def _doc_map_fingerprint(dm: DataFrame):
+    """(rows, order-independent hash) of (doc_id, conv_id, turn_idx) — cheap
+    identity check between a recomputed id assignment and the checkpoint."""
+    row = dm.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.xxhash64("doc_id", "conv_id", "turn_idx")).alias("h"),
+    ).collect()[0]
+    return int(row["rows"]), int(row["h"] or 0)
 
 
 def build_index(
@@ -87,6 +103,12 @@ def build_index(
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> segment at ``out``."""
     m = _load_manifest(out) if resume else {"stages": {}}
     done = m["stages"]
+    if resume and done and m.get("layout_version", 1) != LAYOUT_VERSION:
+        raise ValueError(
+            f"cannot resume: checkpoint at {out} has layout_version="
+            f"{m.get('layout_version', 1)}, engine writes {LAYOUT_VERSION}; rebuild"
+        )
+    m["layout_version"] = LAYOUT_VERSION
 
     def stage(name: str):
         return resume and done.get(name, {}).get("complete", False)
@@ -97,80 +119,130 @@ def build_index(
         m["config"] = json.loads(cfg.to_json())
         _save_manifest(out, m)
 
-    p_docs = os.path.join(out, "00_docs")
-    p_tf = os.path.join(out, "01_tf")
-    p_dict = os.path.join(out, "02_dict")
     p_seg = os.path.join(out, "segment")
+    p_docs = os.path.join(p_seg, "doc_map")
+    p_blocks = os.path.join(p_seg, "blocks")
+    p_dict = os.path.join(p_seg, "dict")
+    p_metrics = os.path.join(p_seg, "metrics")
 
     with_ids = None
     if not stage("00_doc_map"):
         t0 = time.time()
         with_ids = assign_doc_ids(transcripts)
-        # the checkpoint holds ONLY the doc_map (no text, no token counts):
-        # text never round-trips through parquet — stage 01 reads it straight
-        # from assign_doc_ids' serialized cache, and dl/avgdl derive from the
-        # tf fact table, so the corpus is tokenized exactly once
+        # doc_map carries dl (token count, JVM-codegen'd — no Python):
+        # it IS the per-doc-norm sidecar, and its aggregate gives the
+        # encoder n_docs/avgdl without any pass over posting rows
         (
-            with_ids.select("doc_id", "conv_id", "turn_idx")
+            with_ids.select(
+                "doc_id", "conv_id", "turn_idx",
+                F.size(tokens_col("text")).cast("long").alias("dl"),
+            )
             .write.mode("overwrite")
             .parquet(p_docs)
         )
-        record("00_doc_map", t0, rows=spark.read.parquet(p_docs).count())
-    doc_map = spark.read.parquet(p_docs)
+        agg = spark.read.parquet(p_docs).agg(
+            F.count("*").alias("rows"),
+            F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
+            F.sum("dl").alias("tokens"),
+        ).collect()[0]
+        n_docs = int(agg["n_docs"] or 0)
+        record(
+            "00_doc_map", t0,
+            rows=int(agg["rows"]),
+            doc_space=int(agg["rows"]),
+            n_docs=n_docs,
+            avgdl=(float(agg["tokens"]) / n_docs) if n_docs else 0.0,
+        )
+    st0 = done["00_doc_map"]
+    n_docs, avgdl, doc_space = st0["n_docs"], st0["avgdl"], st0["doc_space"]
 
-    if not stage("01_tf"):
+    if not stage("01_blocks"):
         t0 = time.time()
         if with_ids is None:
-            # resuming past a completed 00 in a fresh session: re-derive ids —
-            # assign_doc_ids is deterministic (data-derived order), so the
-            # recompute reproduces the checkpointed doc_map exactly
+            # resuming past a completed 00 in a fresh session: re-derive ids
+            # and PROVE the recompute reproduces the checkpointed doc_map
+            # (duplicate keys or a changed input layout could permute ties)
             with_ids = assign_doc_ids(transcripts)
-        # map-side tf+dl: no shuffle (tf is doc-local), no explode exchange
-        S.term_frequencies_mapside(
-            with_ids.select("doc_id", "text")
-        ).write.mode("overwrite").parquet(p_tf)
-        extra = {"rows": spark.read.parquet(p_tf).count()}
+            got = _doc_map_fingerprint(with_ids.select("doc_id", "conv_id", "turn_idx"))
+            want = _doc_map_fingerprint(
+                spark.read.parquet(p_docs).select("doc_id", "conv_id", "turn_idx")
+            )
+            if got != want:
+                raise ValueError(
+                    f"resume: recomputed doc ids disagree with checkpoint at {p_docs} "
+                    f"(rows/hash {got} != {want}); input changed or keys are not "
+                    "unique — rebuild without resume"
+                )
+        # map-side tf+dl: no shuffle (tf is doc-local) — pipelined straight
+        # into the one exchange of the whole build
+        tf = S.term_frequencies_mapside(with_ids.select("doc_id", "text"))
+        if cfg.doc_shards > 0:
+            # uniform doc-hash sharding needs no dictionary: FUSED path
+            salted = salted_tf(tf, None, None, cfg)
+            blocks = build_blocks(salted, avgdl, cfg, dictionary=None)
+            tf_cached = None
+        else:
+            # legacy df-driven salting needs per-term df before the encode:
+            # persist tf once (serialized, tmpfs-backed) instead of a parquet
+            # round-trip, build the dictionary pre-pass, keep the int
+            # term_id exchange
+            tf_cached = tf.persist(StorageLevel.DISK_ONLY)
+            S.dictionary(tf_cached, n_docs).write.mode("overwrite").parquet(p_dict)
+            d = spark.read.parquet(p_dict)
+            salted = salted_tf(tf_cached, None, d, cfg)
+            blocks = build_blocks(salted, avgdl, cfg, dictionary=d)
+        (
+            blocks.withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int"),
+            )
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(p_blocks)
+        )
+        if tf_cached is not None:
+            tf_cached.unpersist()
+        extra = {}
         if measure_skew:
-            extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_tf))
-        record("01_tf", t0, **extra)
+            extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_blocks))
+        record("01_blocks", t0, **extra)
     if with_ids is not None:
         release_doc_ids(with_ids)
-    tf = _ensure_parallelism(spark.read.parquet(p_tf), spark)
 
     if not stage("02_dict"):
         t0 = time.time()
-        cs = S.corpus_stats_from_tf(tf)
-        S.dictionary(tf, cs["n_docs"]).write.mode("overwrite").parquet(p_dict)
-        record("02_dict", t0, **cs)
-    cs = {k: done["02_dict"][k] for k in ("n_docs", "avgdl")}
-    dictionary = spark.read.parquet(p_dict)
-
-    if not stage("03_segment"):
-        t0 = time.time()
-        salted = salted_tf(tf, None, dictionary, cfg)
-        blocks = build_blocks(salted, cs["avgdl"], cfg, dictionary=dictionary)
-        write_segment(
-            p_seg,
-            blocks,
-            doc_map,
-            dictionary,
-            None,
-            cs["n_docs"],
-            cs["avgdl"],
-            lineage=lineage,
-            cfg=cfg,
-        )
-        seg = Segment(spark, p_seg)
-        met = seg.metrics.agg(
+        blocks_df = spark.read.parquet(p_blocks)
+        block_metrics(blocks_df).write.mode("overwrite").parquet(p_metrics)
+        met_df = spark.read.parquet(p_metrics)
+        if cfg.doc_shards > 0:
+            # dictionary derived from the blocks (df = postings, cf summed)
+            S.dictionary_from_metrics(
+                met_df.select("term", "postings", "cf"), n_docs
+            ).write.mode("overwrite").parquet(p_dict)
+        met = met_df.agg(
             F.sum("postings").alias("postings"),
             F.sum("bytes").alias("bytes"),
             F.max("postings").alias("max_term_postings"),
         ).collect()[0]
+        meta = {
+            "n_docs": int(n_docs),
+            "avgdl": float(avgdl),
+            "doc_space": int(doc_space),
+            "doc_base": 0,
+            "created_at": time.time(),
+            "lineage": lineage or {},
+            "config": json.loads(cfg.to_json()),
+            "format_version": 2,
+        }
+        with open(os.path.join(p_seg, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        build_wall = sum(s.get("wall_s", 0.0) for s in done.values()) + (time.time() - t0)
         record(
-            "03_segment",
-            t0,
+            "02_dict", t0,
             postings=int(met["postings"]),
             bytes=int(met["bytes"]),
-            postings_per_sec=round(int(met["postings"]) / max(time.time() - t0, 1e-9), 1),
+            max_term_postings=int(met["max_term_postings"]),
+            postings_per_sec=round(int(met["postings"]) / max(build_wall, 1e-9), 1),
         )
     return Segment(spark, p_seg)

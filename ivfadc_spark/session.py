@@ -11,6 +11,25 @@ import os
 
 from pyspark.sql import SparkSession
 
+# minimum free tmpfs bytes before /dev/shm is used for shuffle/spill by default
+_SHM_MIN_FREE = 16 << 30
+
+
+def _default_local_dir() -> str:
+    """tmpfs scratch dir if it is safe, else Spark's normal disk default.
+    SPARK_GRAFT_LOCAL_DIR always wins."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    try:
+        import shutil
+
+        if shutil.disk_usage("/dev/shm").free >= _SHM_MIN_FREE:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark-local")
+
 
 def get_spark(
     app_name: str = "ivfadc_spark",
@@ -44,8 +63,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # shuffle/spill on tmpfs: local-mode shuffle through ext4 caps the
         # scaling of shuffle-heavy stages at ~disk bandwidth regardless of
-        # cores (cluster analog: fast local SSDs / remote shuffle service)
-        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        # cores (cluster analog: fast local SSDs / remote shuffle service).
+        # Only defaulted when /dev/shm is actually large enough — small-shm
+        # hosts (often 50% RAM or less) would hit no-space/OOM where plain
+        # disk degrades gracefully.
+        .config("spark.local.dir", _default_local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

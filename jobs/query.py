@@ -52,12 +52,20 @@ def main() -> None:
         from ivfadc_spark.operators.query import bm25_topk_conjunctive, query_terms
 
         terms = [r["term"] for r in query_terms(queries).distinct().collect()]
+        # term-pruned decode for tf; dl comes straight from the doc_map
+        # sidecar (layout v2) — no distinct() over decoded postings
         dec = decode_blocks(seg.blocks.filter(F.col("term").isin(terms)))
+        dm = seg.doc_map
+        dl = (
+            dm.select("doc_id", "dl")
+            if "dl" in dm.columns
+            else dec.select("doc_id", "dl").distinct()
+        )
         out = bm25_topk_conjunctive(
             queries,
             dec.select("term", "doc_id", "tf"),
             seg.dictionary,
-            dec.select("doc_id", "dl").distinct(),
+            dl,
             seg.meta["avgdl"],
             k=args.k,
         )
