@@ -1,0 +1,231 @@
+"""Positional postings sidecar + phrase search.
+
+The reference stores no positions (its queries are bag-of-cells,
+/root/reference/SearchEngine.cpp:112-212); phrase/proximity search is the
+biggest user-facing gap of that design, so we add it as an OPTIONAL sidecar
+dataset — built separately, never touching the default build path or its
+throughput::
+
+    <segment>/positions/   (term, doc_id, positions array<long>),
+                           partitioned by term_bucket
+
+Positions parquet-encodes per-(doc, term) sorted token offsets; term_bucket
+partitioning gives phrase queries the same partition pruning as posting
+blocks. The phrase scan is conjunctive-prefiltered JVM-side (docs containing
+every phrase term), then a vectorized kernel intersects offset lists
+(occurrence i of phrase w0..wn-1 <=> i in ∩_j (P_j - j)).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ivfadc_spark.config import DEFAULT, EngineConfig
+from ivfadc_spark.operators.segments import Segment
+
+PHRASE_RESULT_SCHEMA = "query_id long, rank int, doc_id long, n_occ long"
+
+
+def doc_term_positions(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, positions) with 0-based token offsets — the positional
+    analog of stats.term_frequencies_mapside: one Arrow pass, no shuffle,
+    no Python string objects (RE2 split + dictionary-encode + lexsort)."""
+    from ivfadc_spark.config import DEFAULT as _D
+
+    pattern = _D.token_pattern
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            text = pc.fill_null(tbl.column(text_col), "")
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            parent = parent.filter(keep)
+            if len(flat) == 0:
+                continue
+            par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            # 0-based offset within each doc's kept-token stream
+            starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+            counts = np.diff(np.r_[starts, par.size])
+            pos = np.arange(par.size, dtype=np.int64) - np.repeat(starts, counts)
+            enc = pc.dictionary_encode(flat)
+            enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = enc.dictionary
+            # group tokens by (doc, term); stable sort keeps offsets ascending
+            order = np.lexsort((pos, codes, par))
+            par, codes, pos = par[order], codes[order], pos[order]
+            gs = np.r_[True, (par[1:] != par[:-1]) | (codes[1:] != codes[:-1])]
+            gstart = np.flatnonzero(gs)
+            glen = np.diff(np.r_[gstart, par.size])
+            offsets = np.empty(gstart.size + 1, dtype=np.int32)
+            offsets[:-1] = gstart
+            offsets[-1] = par.size
+            pos_list = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(pos, type=pa.int64())
+            )
+            doc_ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[par[gstart]], type=pa.int64()),
+                    vocab.take(pa.array(codes[gstart])),
+                    pos_list,
+                ],
+                names=["doc_id", "term", "positions"],
+            )
+
+    return docs.mapInArrow(gen, "doc_id long, term string, positions array<long>")
+
+
+def build_positions(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    segment_path: str,
+    cfg: EngineConfig = DEFAULT,
+) -> str:
+    """Build the positions sidecar next to an existing segment. Re-derives
+    doc ids with the same deterministic assignment the segment used (ids are
+    data-derived, sources/transcripts.assign_doc_ids), so no coordination
+    with the block build is needed."""
+    from ivfadc_spark.sources.transcripts import assign_doc_ids, release_doc_ids
+
+    with_ids = assign_doc_ids(transcripts)
+    out = os.path.join(segment_path, "positions")
+    (
+        doc_term_positions(with_ids.select("doc_id", "text"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int"),
+        )
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(out)
+    )
+    release_doc_ids(with_ids)
+    return out
+
+
+def phrase_topk(
+    queries: DataFrame,
+    segment: Segment,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Exact phrase top-k: (query_id, rank, doc_id, n_occ), ranked by
+    occurrence count desc then doc_id; docs with zero occurrences drop out.
+
+    Plan: tokenize phrases (ORDER KEPT) -> probe the positions sidecar with
+    an IN-filter + term_bucket prune -> conjunctive prefilter JVM-side (a
+    doc must contain every distinct phrase term) -> vectorized offset-list
+    intersection per (query, doc): occurrence starts = ∩_j (P_j - j).
+    """
+    from ivfadc_spark.functions.tokenize import tokens_col
+
+    k = k or cfg.top_k
+    spark = segment.spark
+    pos_path = os.path.join(segment.path, "positions")
+    positions = spark.read.parquet(pos_path)
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+
+    # phrase terms with their in-phrase offsets (duplicates kept: "a b a")
+    qt = queries.select(
+        "query_id", F.posexplode(tokens_col("text")).alias("j", "term")
+    )
+    qt_rows = qt.collect()  # queries x phrase length — tiny
+    if not qt_rows:
+        return spark.createDataFrame([], PHRASE_RESULT_SCHEMA)
+    terms = sorted({r["term"] for r in qt_rows})
+    # bucket ids of the probed terms (xxhash64 is a JVM expression; one
+    # driver-local job over the tiny term list)
+    buckets = sorted({
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    })
+    need = {}
+    for r in qt_rows:
+        need.setdefault(r["query_id"], []).append((r["j"], r["term"]))
+    n_distinct = {q: len({t for _, t in js}) for q, js in need.items()}
+
+    qt_df = F.broadcast(spark.createDataFrame(qt_rows))
+    cand = (
+        positions.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        .join(qt_df, "term")
+    )
+    # conjunctive prefilter: keep (query, doc) pairs holding every DISTINCT
+    # phrase term — pure Catalyst, prunes the Python verify step
+    nd = F.broadcast(
+        spark.createDataFrame(
+            [(q, n) for q, n in n_distinct.items()], "query_id long, n_need long"
+        )
+    )
+    have = (
+        cand.groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("n_have"))
+        .join(nd, "query_id")
+        .filter(F.col("n_have") == F.col("n_need"))
+        .select("query_id", "doc_id")
+    )
+    cand = cand.join(have, ["query_id", "doc_id"], "leftsemi")
+
+    par = spark.sparkContext.defaultParallelism
+
+    def verify(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out_q, out_d, out_n = [], [], []
+        for (qid, doc), g in whole.groupby(["query_id", "doc_id"], sort=False):
+            by_term = {t: np.asarray(p, dtype=np.int64)
+                       for t, p in zip(g["term"], g["positions"])}
+            starts = None
+            ok = True
+            for j, t in need[qid]:
+                p = by_term.get(t)
+                if p is None:
+                    ok = False
+                    break
+                shifted = p - j
+                starts = shifted if starts is None else np.intersect1d(
+                    starts, shifted, assume_unique=True
+                )
+                if starts.size == 0:
+                    ok = False
+                    break
+            if ok and starts is not None and starts.size:
+                out_q.append(qid)
+                out_d.append(doc)
+                out_n.append(int(starts.size))
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "n_occ": out_n})
+
+    occ = cand.repartition(par, "query_id").mapInPandas(
+        verify, "query_id long, doc_id long, n_occ long"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        occ.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "n_occ")
+    )

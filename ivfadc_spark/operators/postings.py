@@ -97,6 +97,193 @@ def salted_tf(
     )
 
 
+def _encode_sorted(vocab, codes, ids, tfs, dls, salts, k1, b, bsz, avgdl_f):
+    """Encode postings ALREADY sorted by (code, salt, doc_id) into block
+    RecordBatches — the shared tail of both encode paths.
+
+    Blocks tile three whole-column varint streams contiguously, so each
+    per-block binary column is a ZERO-COPY Arrow BinaryArray over
+    (offsets, stream) — no per-block python bytes objects. Emitted batches
+    are chunked so every binary column's int32 offsets stay valid (a
+    partition whose concatenated streams exceed 2^31 bytes would otherwise
+    wrap silently — plausible at large-corpus scale)."""
+    import pyarrow as pa
+
+    from ivfadc_spark.functions.codecs import varint_encode_with_lengths
+
+    m = ids.size
+    # group starts: term or salt changes
+    gs = np.empty(m, dtype=bool)
+    gs[0] = True
+    gs[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+    gidx = np.cumsum(gs) - 1  # group ordinal per row
+    gfirst = np.flatnonzero(gs)  # first row of each group
+    within = np.arange(m) - gfirst[gidx]  # position within group
+    # block starts: group start or every bsz-th row within the group
+    bs = gs | (within % bsz == 0)
+    bstart = np.flatnonzero(bs)  # first row of each block
+    bend = np.r_[bstart[1:], m]  # one past last row
+    n_blk = (bend - bstart).astype(np.int64)
+    blk_of_row = np.cumsum(bs) - 1
+    # block_id within its group
+    first_blk_of_group = blk_of_row[gfirst]
+    block_id = np.arange(bstart.size) - first_blk_of_group[gidx[bstart]]
+    # per-row deltas with an absolute value at each block start
+    deltas = np.empty(m, dtype=np.uint64)
+    deltas[0] = np.uint64(ids[0])
+    diffs = ids[1:] - ids[:-1]
+    deltas[1:] = diffs.astype(np.uint64)
+    deltas[bstart] = ids[bstart].astype(np.uint64)
+    # impact + per-block stats
+    impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
+    max_imp = np.maximum.reduceat(impact, bstart)
+    sum_tf = np.add.reduceat(tfs, bstart)
+    streams, col_lo, col_hi = {}, {}, {}
+    tot_bytes = np.zeros(bstart.size, dtype=np.int64)
+    for name, vals in (("doc_ids", deltas), ("tfs", tfs.astype(np.uint64)), ("dls", dls.astype(np.uint64))):
+        stream, nb = varint_encode_with_lengths(vals)
+        ends = np.cumsum(nb)
+        lo = (ends - nb)[bstart]
+        hi = ends[bend - 1]
+        streams[name], col_lo[name], col_hi[name] = stream, lo, hi
+        tot_bytes += hi - lo
+    cum = np.cumsum(tot_bytes)
+    edges = [0]
+    while edges[-1] < bstart.size:
+        base = cum[edges[-1] - 1] if edges[-1] else 0
+        j = int(np.searchsorted(cum, base + _BATCH_BYTE_LIMIT, side="right"))
+        edges.append(max(j, edges[-1] + 1))
+    for a, z in zip(edges[:-1], edges[1:]):
+        enc = {}
+        for name in ("doc_ids", "tfs", "dls"):
+            clo, chi = int(col_lo[name][a]), int(col_hi[name][z - 1])
+            offsets = np.empty(z - a + 1, dtype=np.int32)
+            offsets[:-1] = col_lo[name][a:z] - clo
+            offsets[-1] = chi - clo
+            enc[name] = pa.Array.from_buffers(
+                pa.binary(),
+                z - a,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(memoryview(streams[name])[clo:chi])],
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                vocab.take(pa.array(codes[bstart[a:z]])),
+                pa.array(salts[bstart[a:z]], type=pa.int32()),
+                pa.array(block_id[a:z].astype(np.int32)),
+                pa.array(n_blk[a:z].astype(np.int32)),
+                pa.array(ids[bstart[a:z]], type=pa.int64()),
+                pa.array(ids[bend[a:z] - 1], type=pa.int64()),
+                enc["doc_ids"],
+                enc["tfs"],
+                enc["dls"],
+                pa.array(max_imp[a:z], type=pa.float64()),
+                pa.array(sum_tf[a:z].astype(np.int64)),
+                pa.array(tot_bytes[a:z], type=pa.int64()),
+            ],
+            names=[
+                "term", "salt", "block_id", "n", "first_doc", "last_doc",
+                "doc_ids", "tfs", "dls", "max_impact", "sum_tf", "bytes",
+            ],
+        )
+
+
+def build_blocks_inplace(
+    docs: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Tokenize -> tf -> docID-sort -> block-encode in ONE map pass — the
+    combiner-style index build. NO exchange of posting rows, ever.
+
+    Requires ``docs(doc_id, text)`` range-partitioned so each partition owns
+    a CONTIGUOUS doc_id range (what assign_doc_ids produces). The doc-shard
+    ``salt`` is then simply the partition ordinal: a doc's postings land in
+    one salt for EVERY term (per-doc consistent, disjoint, complete
+    sub-indexes — all the batch scan needs), head terms split across all
+    partitions by construction, and the classic (term, salt) pivot shuffle
+    (/root/reference/Index.cpp gen_idx_sz_file's cell-ordered rewrite; 20 TB
+    of posting rows at the 10^12-turn target) disappears entirely. Only the
+    encoded blocks (~2 orders of magnitude smaller) move in the later
+    layout repartition.
+
+    The in-pass tf aggregation is one ``np.unique`` over packed
+    (term_code, doc_rel) keys per partition — which also leaves postings in
+    exactly the (term, doc) order the block encoder needs.
+    """
+    k1, b, bsz = float(cfg.k1), float(cfg.b), int(cfg.block_size)
+    avgdl_f = float(avgdl)
+    pattern = cfg.token_pattern
+
+    docs = docs.withColumn("_salt", F.spark_partition_id())
+
+    def encode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        flats, pars, doc_chunks = [], [], []
+        salt_val = None
+        row_base = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            if salt_val is None:
+                salt_val = int(tbl.column("_salt")[0].as_py())
+            text = pc.fill_null(tbl.column("text"), "")
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            flats.append(flat.filter(keep))
+            pars.append(
+                parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+                + row_base
+            )
+            doc_chunks.append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+            row_base += rb.num_rows
+        if row_base == 0 or not flats:
+            return
+        doc_ids = np.concatenate(doc_chunks).astype(np.int64)
+        par = np.concatenate(pars)
+        flat_all = pa.concat_arrays(
+            [c for f in flats for c in (f.chunks if isinstance(f, pa.ChunkedArray) else [f])]
+        )
+        if len(flat_all) == 0:
+            return
+        enc_t = pc.dictionary_encode(flat_all)
+        enc_t = enc_t.combine_chunks() if isinstance(enc_t, pa.ChunkedArray) else enc_t
+        codes_tok = enc_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc_t.dictionary
+        dl_by_row = np.bincount(par, minlength=row_base).astype(np.int64)
+        # pack (term_code, row) into one int64 key: np.unique aggregates tf
+        # AND sorts postings into encoder order in a single call
+        rb_bits = max(int(row_base - 1), 1).bit_length()
+        cb_bits = max(len(vocab) - 1, 1).bit_length()
+        if rb_bits + cb_bits <= 63:
+            keys = (codes_tok << rb_bits) | par
+            uk, tf = np.unique(keys, return_counts=True)
+            code_p = uk >> rb_bits
+            row_p = uk & ((1 << rb_bits) - 1)
+        else:  # gigantic partition fallback: 2-pass unique
+            order = np.lexsort((par, codes_tok))
+            ck, pk = codes_tok[order], par[order]
+            new = np.r_[True, (ck[1:] != ck[:-1]) | (pk[1:] != pk[:-1])]
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.r_[starts, ck.size])
+            code_p, row_p = ck[starts], pk[starts]
+        ids_p = doc_ids[row_p]
+        dls_p = dl_by_row[row_p]
+        salts = np.full(code_p.size, salt_val, dtype=np.int32)
+        yield from _encode_sorted(
+            vocab, code_p, ids_p, tf.astype(np.int64), dls_p,
+            salts, k1, b, bsz, avgdl_f,
+        )
+
+    return docs.mapInArrow(encode, BLOCKS_SCHEMA)
+
+
 def build_blocks(
     salted: DataFrame,
     avgdl: float,
@@ -188,87 +375,9 @@ def build_blocks(
         codes, ids, tfs, dls, salts = (
             codes[order], ids[order], tfs[order], dls[order], salts[order]
         )
-        m = ids.size
-        # group starts: term or salt changes
-        gs = np.empty(m, dtype=bool)
-        gs[0] = True
-        gs[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
-        gidx = np.cumsum(gs) - 1  # group ordinal per row
-        gfirst = np.flatnonzero(gs)  # first row of each group
-        within = np.arange(m) - gfirst[gidx]  # position within group
-        # block starts: group start or every bsz-th row within the group
-        bs = gs | (within % bsz == 0)
-        bstart = np.flatnonzero(bs)  # first row of each block
-        bend = np.r_[bstart[1:], m]  # one past last row
-        n_blk = (bend - bstart).astype(np.int64)
-        blk_of_row = np.cumsum(bs) - 1
-        # block_id within its group
-        first_blk_of_group = blk_of_row[gfirst]
-        block_id = np.arange(bstart.size) - first_blk_of_group[gidx[bstart]]
-        # per-row deltas with an absolute value at each block start
-        deltas = np.empty(m, dtype=np.uint64)
-        deltas[0] = np.uint64(ids[0])
-        diffs = ids[1:] - ids[:-1]
-        deltas[1:] = diffs.astype(np.uint64)
-        deltas[bstart] = ids[bstart].astype(np.uint64)
-        # impact + per-block stats
-        impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
-        max_imp = np.maximum.reduceat(impact, bstart)
-        sum_tf = np.add.reduceat(tfs, bstart)
-        # encode whole columns once; blocks tile each stream contiguously,
-        # so the per-block binary column is a ZERO-COPY Arrow BinaryArray
-        # over (offsets, stream) — no per-block python bytes objects at all
-        streams, col_lo, col_hi = {}, {}, {}
-        tot_bytes = np.zeros(bstart.size, dtype=np.int64)
-        for name, vals in (("doc_ids", deltas), ("tfs", tfs.astype(np.uint64)), ("dls", dls.astype(np.uint64))):
-            stream, nb = varint_encode_with_lengths(vals)
-            ends = np.cumsum(nb)
-            lo = (ends - nb)[bstart]
-            hi = ends[bend - 1]
-            streams[name], col_lo[name], col_hi[name] = stream, lo, hi
-            tot_bytes += hi - lo
-        # chunk emitted batches so every binary column's int32 offsets stay
-        # valid: a partition whose concatenated streams exceed 2^31 bytes
-        # (plausible at large-corpus scale) would otherwise wrap silently
-        cum = np.cumsum(tot_bytes)
-        edges = [0]
-        while edges[-1] < bstart.size:
-            base = cum[edges[-1] - 1] if edges[-1] else 0
-            j = int(np.searchsorted(cum, base + _BATCH_BYTE_LIMIT, side="right"))
-            edges.append(max(j, edges[-1] + 1))
-        for a, z in zip(edges[:-1], edges[1:]):
-            enc = {}
-            for name in ("doc_ids", "tfs", "dls"):
-                clo, chi = int(col_lo[name][a]), int(col_hi[name][z - 1])
-                offsets = np.empty(z - a + 1, dtype=np.int32)
-                offsets[:-1] = col_lo[name][a:z] - clo
-                offsets[-1] = chi - clo
-                enc[name] = pa.Array.from_buffers(
-                    pa.binary(),
-                    z - a,
-                    [None, pa.py_buffer(offsets.tobytes()),
-                     pa.py_buffer(memoryview(streams[name])[clo:chi])],
-                )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    vocab.take(pa.array(codes[bstart[a:z]])),
-                    pa.array(salts[bstart[a:z]], type=pa.int32()),
-                    pa.array(block_id[a:z].astype(np.int32)),
-                    pa.array(n_blk[a:z].astype(np.int32)),
-                    pa.array(ids[bstart[a:z]], type=pa.int64()),
-                    pa.array(ids[bend[a:z] - 1], type=pa.int64()),
-                    enc["doc_ids"],
-                    enc["tfs"],
-                    enc["dls"],
-                    pa.array(max_imp[a:z], type=pa.float64()),
-                    pa.array(sum_tf[a:z].astype(np.int64)),
-                    pa.array(tot_bytes[a:z], type=pa.int64()),
-                ],
-                names=[
-                    "term", "salt", "block_id", "n", "first_doc", "last_doc",
-                    "doc_ids", "tfs", "dls", "max_impact", "sum_tf", "bytes",
-                ],
-            )
+        yield from _encode_sorted(
+            vocab, codes, ids, tfs, dls, salts, k1, b, bsz, avgdl_f
+        )
 
     # 4 waves: encode task sizes vary ~2x (Zipf vocab), so finer tasks keep
     # the last wave from stalling cores (measured: the 2-wave tail cost ~30%

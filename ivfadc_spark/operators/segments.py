@@ -130,15 +130,22 @@ class SegmentSet:
                     )
         self.offsets = []
         acc, n_docs, tokens = 0, 0, 0.0
+        shard_counts = []
         for s in self.segments:
             self.offsets.append(acc)
             acc += s.doc_space
             n_docs += s.meta["n_docs"]
             tokens += s.meta["avgdl"] * s.meta["n_docs"]
+            shard_counts.append(
+                int(s.meta.get("n_shards", s.meta.get("config", {}).get("doc_shards", 0)) or 0)
+            )
         self.meta = {
             "n_docs": int(n_docs),
             "avgdl": (tokens / n_docs) if n_docs else 0.0,
             "doc_space": int(acc),
+            # every member is per-doc-consistently sharded, so the union is
+            # too; the max shard id bounds the salt range for task sizing
+            "n_shards": max(shard_counts) if min(shard_counts) > 0 else 0,
             "doc_base": 0,
             "config": c0,
             "lineage": {
@@ -217,6 +224,7 @@ def write_segment(
     lineage: dict | None = None,
     cfg: EngineConfig = DEFAULT,
     blocks_prepartitioned: bool = False,
+    n_shards: int = 0,
 ) -> None:
     """Write a complete segment. term_bucket partitioning gives the query
     side partition pruning on probed terms (O1 inverted-file pruning: only
@@ -250,6 +258,8 @@ def write_segment(
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
         "doc_space": int(doc_space),
+        # 0 = not per-doc-consistently sharded (bm25_topk_batch will refuse)
+        "n_shards": int(n_shards),
         "doc_base": int(doc_base),
         "created_at": time.time(),
         "lineage": lineage or {},
@@ -293,6 +303,7 @@ def merge_segments(
         "n_docs": ss.meta["n_docs"],
         "avgdl": ss.meta["avgdl"],
         "doc_space": ss.meta["doc_space"],
+        "n_shards": ss.meta["n_shards"],
         "doc_base": 0,
         "created_at": time.time(),
         "lineage": {"merged_from": ss.meta["lineage"]["segments"]},

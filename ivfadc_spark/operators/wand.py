@@ -196,10 +196,13 @@ def bm25_topk_batch(
     blocks = segment.blocks.filter(F.col("term").isin(terms)).select(
         "term", "salt", "block_id", "n", "doc_ids", "tfs", "dls"
     )
-    # the shard contract comes STRICTLY from the segment's own build config:
-    # a df-salted segment (doc_shards <= 0) splits one doc's postings across
+    # the shard contract comes STRICTLY from the segment's own build meta:
+    # a df-salted segment (n_shards <= 0) splits one doc's postings across
     # DIFFERENT salts per term, which would silently double-count scores here
-    n_shards = int(segment.meta.get("config", {}).get("doc_shards", 0) or 0)
+    n_shards = int(
+        segment.meta.get("n_shards", segment.meta.get("config", {}).get("doc_shards", 0))
+        or 0
+    )
     if n_shards <= 0:
         raise ValueError(
             "bm25_topk_batch requires a segment built with uniform doc "

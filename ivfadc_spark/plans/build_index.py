@@ -42,9 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ivfadc_spark.config import DEFAULT, EngineConfig
-from ivfadc_spark.functions.tokenize import tokens_col
 from ivfadc_spark.operators import stats as S
-from ivfadc_spark.operators.postings import block_metrics, build_blocks, salted_tf
+from ivfadc_spark.operators.postings import (
+    block_metrics,
+    build_blocks,
+    build_blocks_inplace,
+    salted_tf,
+)
 from ivfadc_spark.operators.segments import Segment
 from ivfadc_spark.sources.transcripts import assign_doc_ids, release_doc_ids
 
@@ -129,13 +133,14 @@ def build_index(
     if not stage("00_doc_map"):
         t0 = time.time()
         with_ids = assign_doc_ids(transcripts)
-        # doc_map carries dl (token count, JVM-codegen'd — no Python):
-        # it IS the per-doc-norm sidecar, and its aggregate gives the
-        # encoder n_docs/avgdl without any pass over posting rows
+        # doc_map carries dl (token count via one Arrow/RE2 pass — the JVM
+        # size(split(...)) form allocates a boxed token array per row and
+        # anti-scales in a single JVM at high thread counts): it IS the
+        # per-doc-norm sidecar, and its aggregate gives the encoder
+        # n_docs/avgdl without any pass over posting rows
         (
-            with_ids.select(
-                "doc_id", "conv_id", "turn_idx",
-                F.size(tokens_col("text")).cast("long").alias("dl"),
+            S.with_token_counts(
+                with_ids.select("doc_id", "conv_id", "turn_idx", "text")
             )
             .write.mode("overwrite")
             .parquet(p_docs)
@@ -173,15 +178,21 @@ def build_index(
                     f"(rows/hash {got} != {want}); input changed or keys are not "
                     "unique — rebuild without resume"
                 )
-        # map-side tf+dl: no shuffle (tf is doc-local) — pipelined straight
-        # into the one exchange of the whole build
-        tf = S.term_frequencies_mapside(with_ids.select("doc_id", "text"))
         if cfg.doc_shards > 0:
-            # uniform doc-hash sharding needs no dictionary: FUSED path
-            salted = salted_tf(tf, None, None, cfg)
-            blocks = build_blocks(salted, avgdl, cfg, dictionary=None)
+            # combiner path: tokenize -> tf -> sort -> encode in ONE map
+            # pass over the range-partitioned cache; the doc shard is the
+            # partition ordinal (contiguous doc range), so NO posting row
+            # ever crosses the network — only encoded blocks move, in the
+            # term_bucket layout repartition below
+            docs = with_ids.select("doc_id", "text")
+            n_shards = int(docs.rdd.getNumPartitions())
+            blocks = build_blocks_inplace(docs, avgdl, cfg)
             tf_cached = None
         else:
+            n_shards = 0  # df-salted: not doc-sharded
+            # legacy df-salted layout: needs the full tf fact table + a
+            # dictionary pre-pass before the (term, salt) exchange
+            tf = S.term_frequencies_mapside(with_ids.select("doc_id", "text"))
             # legacy df-driven salting needs per-term df before the encode:
             # persist tf once (serialized, tmpfs-backed) instead of a parquet
             # round-trip, build the dictionary pre-pass, keep the int
@@ -203,7 +214,7 @@ def build_index(
         )
         if tf_cached is not None:
             tf_cached.unpersist()
-        extra = {}
+        extra = {"n_shards": n_shards}
         if measure_skew:
             extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_blocks))
         record("01_blocks", t0, **extra)
@@ -229,6 +240,9 @@ def build_index(
             "n_docs": int(n_docs),
             "avgdl": float(avgdl),
             "doc_space": int(doc_space),
+            # actual doc-shard count (combiner path: the number of source
+            # partitions); 0 = legacy df-salted layout
+            "n_shards": int(done["01_blocks"].get("n_shards", 0)),
             "doc_base": 0,
             "created_at": time.time(),
             "lineage": lineage or {},

@@ -1,0 +1,225 @@
+"""k-means training loop, SegmentSet federation, O(bytes) block remap, and
+the zero-token-doc stride regression (batch path vs dense id space)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ivfadc_spark.config import EngineConfig
+from ivfadc_spark.operators.clustering import (
+    assign_cells,
+    kmeans_train,
+    seed_farthest,
+    seed_first_k,
+)
+from ivfadc_spark.operators.postings import decode_blocks, remap_blocks
+from ivfadc_spark.operators.segments import SegmentSet
+from ivfadc_spark.operators.wand import bm25_topk_batch, bm25_topk_indexed
+from ivfadc_spark.plans.build_index import build_index
+from ivfadc_spark.sources.transcripts import synth_transcripts
+
+CFG = EngineConfig(block_size=16)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "v": [list(map(float, rng.normal(size=8))) for _ in range(200)],
+        }
+    )
+    return spark.createDataFrame(pdf, schema="vec_id long, v array<double>")
+
+
+def test_assign_cells_matches_numpy(spark, vecs):
+    seeds = seed_first_k(vecs, 4)
+    got = assign_cells(vecs, seeds, metric="cosine").select("vec_id", "cell").toPandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    v = np.array(vecs.orderBy("vec_id").toPandas()["v"].tolist())
+    c = np.array(seeds["b"].tolist())
+    cos = (v @ c.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+    )
+    assert list(got["cell"]) == list(np.argmax(cos, axis=1))
+
+
+def test_kmeans_inertia_nonincreasing_and_tol_break(spark, vecs):
+    """Lloyd guarantees non-increasing within-cluster cost; tol>0 must stop
+    early once centroids stabilize."""
+
+    def inertia(cents):
+        v = np.array(vecs.orderBy("vec_id").toPandas()["v"].tolist())
+        c = np.array(cents.sort_values("cell")["b"].tolist())
+        cos = (v @ c.T) / (
+            np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+        )
+        return float((1.0 - cos.max(axis=1)).sum())
+
+    prev = None
+    for iters in (1, 2, 4):
+        cents, _, ran = kmeans_train(vecs, k=4, max_iters=iters, tol=0.0)
+        assert ran == iters
+        cur = inertia(cents)
+        if prev is not None:
+            assert cur <= prev + 1e-9
+        prev = cur
+    _, _, ran = kmeans_train(vecs, k=4, max_iters=50, tol=1e-7)
+    assert ran < 50  # converged and broke early
+
+
+def test_farthest_seeding_deterministic(spark, vecs):
+    a = seed_farthest(vecs, 3)
+    b = seed_farthest(vecs, 3)
+    assert [list(x) for x in a["b"]] == [list(x) for x in b["b"]]
+
+
+def test_remap_blocks_is_pure_offset(spark, tmp_path):
+    tx = synth_transcripts(spark, n_conversations=20)
+    seg = build_index(spark, tx, str(tmp_path / "s"), cfg=CFG)
+    base = decode_blocks(seg.blocks).orderBy("term", "doc_id").toPandas()
+    shifted = (
+        decode_blocks(remap_blocks(seg.blocks, 1_000_000))
+        .orderBy("term", "doc_id")
+        .toPandas()
+    )
+    assert list(shifted["doc_id"]) == [d + 1_000_000 for d in base["doc_id"]]
+    assert list(shifted["tf"]) == list(base["tf"])
+    assert list(shifted["dl"]) == list(base["dl"])
+    # metadata consistent with payload
+    blk = remap_blocks(seg.blocks, 1_000_000).toPandas()
+    assert (blk["first_doc"] >= 1_000_000).all()
+
+
+def test_segment_set_equals_single_build(spark, tmp_path):
+    """Query federation over two segments == one segment over the union —
+    rank and score identical (WAND and batch paths)."""
+    tx = synth_transcripts(spark, n_conversations=60)
+    whole = build_index(spark, tx, str(tmp_path / "w"), cfg=CFG)
+    a = build_index(
+        spark, tx.filter("conv_id < 'conv-000030'"), str(tmp_path / "a"), cfg=CFG
+    )
+    b = build_index(
+        spark, tx.filter("conv_id >= 'conv-000030'"), str(tmp_path / "b"), cfg=CFG
+    )
+    ss = SegmentSet(spark, [a.path, b.path])
+    assert ss.meta["n_docs"] == whole.meta["n_docs"]
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [0, 1, 2], "text": ["headterm term000", "term001 term017", "term199"]}
+        ),
+        schema="query_id long, text string",
+    )
+    want = (
+        bm25_topk_indexed(queries, whole, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    got = (
+        bm25_topk_indexed(queries, ss, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+    got_b = (
+        bm25_topk_batch(queries, ss, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got_b["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got_b["score"], want["score"], rtol=1e-12)
+
+
+def test_batch_stride_with_zero_token_docs(spark, tmp_path):
+    """Regression: transcripts with empty / punctuation-only turns make the
+    doc id space larger than the BM25 n_docs; the batch path's key stride
+    must use the FULL space or adjacent queries' keys collide."""
+    tx = synth_transcripts(spark, n_conversations=25).toPandas()
+    # blank out a scattering of turns (keeps (conv_id, turn_idx) keys)
+    tx.loc[tx.index % 7 == 0, "text"] = ""
+    tx.loc[tx.index % 11 == 0, "text"] = "!!! ???"
+    df = spark.createDataFrame(
+        tx,
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    seg = build_index(spark, df, str(tmp_path / "z"), cfg=CFG)
+    assert seg.doc_space > seg.meta["n_docs"]  # zero-token docs exist
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [0, 1, 2, 3], "text": ["headterm", "term000 term001", "term002", "headterm term003"]}
+        ),
+        schema="query_id long, text string",
+    )
+    want = (
+        bm25_topk_indexed(queries, seg, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    got = (
+        bm25_topk_batch(queries, seg, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_batch_refuses_df_salted_segment(spark, tmp_path):
+    cfg = EngineConfig(block_size=16, doc_shards=0, salt_df_threshold=100, max_salts=4)
+    tx = synth_transcripts(spark, n_conversations=10)
+    seg = build_index(spark, tx, str(tmp_path / "lg"), cfg=cfg)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "text": ["headterm"]}),
+        schema="query_id long, text string",
+    )
+    with pytest.raises(ValueError, match="doc_shards"):
+        bm25_topk_batch(queries, seg, k=5, cfg=cfg)
+
+
+def test_phrase_topk_matches_bruteforce(spark, tmp_path):
+    """Positional sidecar phrase counts == a per-doc brute scan in pandas."""
+    import re
+
+    from ivfadc_spark.operators.positions import build_positions, phrase_topk
+
+    tx = synth_transcripts(spark, n_conversations=30)
+    seg = build_index(spark, tx, str(tmp_path / "ph"), cfg=CFG)
+    build_positions(spark, tx, seg.path, CFG)
+    phrases = [(0, "headterm term000"), (1, "term001 term000"), (2, "nosuch phrase")]
+    pq = spark.createDataFrame(
+        pd.DataFrame(phrases, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    got = phrase_topk(pq, seg, k=10).orderBy("query_id", "rank").toPandas()
+
+    pat = re.compile(r"[^a-z0-9]+")
+    docs = seg.doc_map.orderBy("doc_id").toPandas()
+    texts = (
+        tx.orderBy("conv_id", "turn_idx").toPandas()["text"].tolist()
+    )  # doc_id order == (conv_id, turn_idx) order
+    rows = []
+    for qid, phrase in phrases:
+        p = [t for t in pat.split(phrase.lower()) if t]
+        for doc_id, text in enumerate(texts):
+            t = [w for w in pat.split(text.lower()) if w]
+            n = sum(1 for i in range(len(t) - len(p) + 1) if t[i : i + len(p)] == p)
+            if n > 0:
+                rows.append((qid, doc_id, n))
+    want = pd.DataFrame(rows, columns=["query_id", "doc_id", "n_occ"])
+    want["rank"] = (
+        want.sort_values(["n_occ", "doc_id"], ascending=[False, True])
+        .groupby("query_id")
+        .cumcount()
+        + 1
+    )
+    want = (
+        want[want["rank"] <= 10]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_occ"]) == list(want["n_occ"])
+    assert len(docs) == len(texts)
