@@ -48,6 +48,12 @@ class EngineConfig:
     # scatter, /root/reference/vk_word_complete/startup.py:31-42, X4).
     doc_shards: int = 32
 
+    # combiner-encode flush budget (tokens): each flush becomes its own
+    # doc-range shard. Bounds the kernel's working set to cache-friendly
+    # sizes — large fresh allocations per task measurably anti-scale in
+    # many-worker single-host runs (page-fault/allocator contention).
+    encode_chunk_tokens: int = 1 << 19
+
     # layout
     shuffle_partitions: int = 32
     term_buckets: int = 64  # postings dataset partition key = hash(term) % buckets

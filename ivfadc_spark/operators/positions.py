@@ -40,6 +40,9 @@ def doc_term_positions(docs: DataFrame, text_col: str = "text", id_col: str = "d
     pattern = _D.token_pattern
 
     def gen(batches):
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
+
+        use_scalable_pool()
         import pyarrow as pa
         import pyarrow.compute as pc
 

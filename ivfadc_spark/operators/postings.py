@@ -17,11 +17,12 @@ Spark task build the "the" posting list at 10^12 turns. A term with
 block-encoded, and the query scan treats sub-lists as independent cursors
 (scores are additive across disjoint doc sets, so correctness is unaffected).
 
-Block-max metadata: per block we store ``max_impact`` = the largest
-idf-less BM25 partial in the block (tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))) plus
-the block's docID range — the analog of the coarse-cell residual bound that
-lets IVFADC prune (SURVEY.md §4 O3). ``idf`` multiplies at query time, so
-block bounds survive segment merges that change df.
+Block-max metadata: per block we store ``(max_tf, min_dl)`` plus the docID
+range; the query side computes the bound idf * impact(max_tf, min_dl, avgdl)
+— the analog of the coarse-cell residual bound that lets IVFADC prune
+(SURVEY.md §4 O3). idf AND avgdl apply at query time, so block bounds
+survive segment merges that change either, and the encoder needs no corpus
+statistics at all.
 """
 
 from __future__ import annotations
@@ -36,8 +37,27 @@ from ivfadc_spark.functions.codecs import delta_encode, varint_encode
 
 BLOCKS_SCHEMA = (
     "term string, salt int, block_id int, n int, first_doc long, last_doc long, "
-    "doc_ids binary, tfs binary, dls binary, max_impact double, sum_tf long, bytes long"
+    "doc_ids binary, tfs binary, dls binary, max_tf long, min_dl long, "
+    "sum_tf long, bytes long"
 )
+# Block upper bounds are avgdl-FREE: per block we store (max_tf, min_dl);
+# the query side computes ub = idf * impact(max_tf, min_dl, avgdl) — a valid
+# bound for ANY avgdl since impact is increasing in tf and decreasing in dl.
+# This frees the encoder from every corpus-level statistic, which is what
+# lets the whole build run in one pass, and makes bounds survive merges that
+# change avgdl.
+#
+# SENTINEL rows (term = NULL, block_id = -1) carry the per-chunk doc-length
+# sidecar: doc_ids = the chunk's doc ids (delta varint), dls = per-doc token
+# counts, n = docs in chunk. They live in partition term_bucket = -1, are
+# excluded from Segment.blocks, and give stage 02 n_docs/avgdl and the
+# (doc_id, dl) table without any extra corpus pass.
+
+# combiner salt layout: salt = source_partition_id * SALT_CHUNK_SPAN + chunk.
+# salt // SALT_CHUNK_SPAN therefore recovers the PARTITION-level doc shard —
+# the granularity batch scans group by (a complete sub-index per source
+# partition); individual chunk salts only bound encoder working sets.
+SALT_CHUNK_SPAN = 4096
 
 # per-RecordBatch byte budget for binary columns: Arrow binary() offsets are
 # int32, so a batch whose concatenated varint streams exceed 2^31 bytes would
@@ -97,7 +117,7 @@ def salted_tf(
     )
 
 
-def _encode_sorted(vocab, codes, ids, tfs, dls, salts, k1, b, bsz, avgdl_f):
+def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz):
     """Encode postings ALREADY sorted by (code, salt, doc_id) into block
     RecordBatches — the shared tail of both encode paths.
 
@@ -134,9 +154,9 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, k1, b, bsz, avgdl_f):
     diffs = ids[1:] - ids[:-1]
     deltas[1:] = diffs.astype(np.uint64)
     deltas[bstart] = ids[bstart].astype(np.uint64)
-    # impact + per-block stats
-    impact = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl_f))
-    max_imp = np.maximum.reduceat(impact, bstart)
+    # per-block stats: avgdl-free bound ingredients + tf total
+    max_tf = np.maximum.reduceat(tfs, bstart)
+    min_dl = np.minimum.reduceat(dls, bstart)
     sum_tf = np.add.reduceat(tfs, bstart)
     streams, col_lo, col_hi = {}, {}, {}
     tot_bytes = np.zeros(bstart.size, dtype=np.int64)
@@ -177,20 +197,20 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, k1, b, bsz, avgdl_f):
                 enc["doc_ids"],
                 enc["tfs"],
                 enc["dls"],
-                pa.array(max_imp[a:z], type=pa.float64()),
+                pa.array(max_tf[a:z].astype(np.int64)),
+                pa.array(min_dl[a:z].astype(np.int64)),
                 pa.array(sum_tf[a:z].astype(np.int64)),
                 pa.array(tot_bytes[a:z], type=pa.int64()),
             ],
             names=[
                 "term", "salt", "block_id", "n", "first_doc", "last_doc",
-                "doc_ids", "tfs", "dls", "max_impact", "sum_tf", "bytes",
+                "doc_ids", "tfs", "dls", "max_tf", "min_dl", "sum_tf", "bytes",
             ],
         )
 
 
 def build_blocks_inplace(
     docs: DataFrame,
-    avgdl: float,
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
     """Tokenize -> tf -> docID-sort -> block-encode in ONE map pass — the
@@ -211,82 +231,133 @@ def build_blocks_inplace(
     (term_code, doc_rel) keys per partition — which also leaves postings in
     exactly the (term, doc) order the block encoder needs.
     """
-    k1, b, bsz = float(cfg.k1), float(cfg.b), int(cfg.block_size)
-    avgdl_f = float(avgdl)
+    bsz = int(cfg.block_size)
     pattern = cfg.token_pattern
+    chunk_tokens = int(cfg.encode_chunk_tokens)
 
-    docs = docs.withColumn("_salt", F.spark_partition_id())
+    docs = docs.withColumn("_pid", F.spark_partition_id())
 
     def encode(batches):
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
+
+        use_scalable_pool()
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        flats, pars, doc_chunks = [], [], []
-        salt_val = None
-        row_base = 0
+        state = {"flats": [], "pars": [], "docs": [], "rows": 0, "toks": 0,
+                 "pid": None, "chunk": 0}
+
+        def flush():
+            if state["rows"] == 0 or not state["flats"]:
+                return
+            # chunk salt: unique per (partition, flush) and per-doc
+            # consistent (a doc's rows never split across flushes)
+            if state["chunk"] >= SALT_CHUNK_SPAN or state["pid"] >= (1 << 19):
+                raise RuntimeError(
+                    "build_blocks_inplace: salt space exhausted "
+                    f"(pid={state['pid']}, chunk={state['chunk']}) — lower "
+                    "input split size or raise encode_chunk_tokens"
+                )
+            salt_val = state["pid"] * SALT_CHUNK_SPAN + state["chunk"]
+            row_base = state["rows"]
+            doc_ids = np.concatenate(state["docs"]).astype(np.int64)
+            par = np.concatenate(state["pars"])
+            flat_all = pa.concat_arrays(
+                [c for f in state["flats"]
+                 for c in (f.chunks if isinstance(f, pa.ChunkedArray) else [f])]
+            )
+            state["flats"], state["pars"], state["docs"] = [], [], []
+            state["rows"], state["toks"] = 0, 0
+            state["chunk"] += 1
+            dl_by_row = np.bincount(par, minlength=row_base).astype(np.int64)
+            # sentinel doc-stats row: the chunk's (doc_id -> dl) table,
+            # zero-token docs included — stage 02 derives n_docs/avgdl and
+            # the doc-length sidecar from these, so no other stage ever
+            # tokenizes the corpus
+            from ivfadc_spark.functions.codecs import delta_encode, varint_encode
+
+            dstream = delta_encode(doc_ids)
+            lstream = varint_encode(dl_by_row.astype(np.uint64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([None], type=pa.string()),
+                    pa.array([salt_val], type=pa.int32()),
+                    pa.array([-1], type=pa.int32()),
+                    pa.array([row_base], type=pa.int32()),
+                    pa.array([int(doc_ids[0])], type=pa.int64()),
+                    pa.array([int(doc_ids[-1])], type=pa.int64()),
+                    pa.array([dstream], type=pa.binary()),
+                    pa.array([b""], type=pa.binary()),
+                    pa.array([lstream], type=pa.binary()),
+                    pa.array([0], type=pa.int64()),
+                    pa.array([0], type=pa.int64()),
+                    pa.array([int(dl_by_row.sum())], type=pa.int64()),
+                    pa.array([len(dstream) + len(lstream)], type=pa.int64()),
+                ],
+                names=[
+                    "term", "salt", "block_id", "n", "first_doc", "last_doc",
+                    "doc_ids", "tfs", "dls", "max_tf", "min_dl", "sum_tf", "bytes",
+                ],
+            )
+            if len(flat_all) == 0:
+                return
+            enc_t = pc.dictionary_encode(flat_all)
+            enc_t = enc_t.combine_chunks() if isinstance(enc_t, pa.ChunkedArray) else enc_t
+            codes_tok = enc_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = enc_t.dictionary
+            # pack (term_code, row) into one int64 key: np.unique aggregates
+            # tf AND sorts postings into encoder order in a single call
+            rb_bits = max(int(row_base - 1), 1).bit_length()
+            cb_bits = max(len(vocab) - 1, 1).bit_length()
+            if rb_bits + cb_bits <= 63:
+                keys = (codes_tok << rb_bits) | par
+                uk, tf = np.unique(keys, return_counts=True)
+                code_p = uk >> rb_bits
+                row_p = uk & ((1 << rb_bits) - 1)
+            else:  # gigantic chunk fallback: explicit 2-key sort
+                order = np.lexsort((par, codes_tok))
+                ck, pk = codes_tok[order], par[order]
+                new = np.r_[True, (ck[1:] != ck[:-1]) | (pk[1:] != pk[:-1])]
+                starts = np.flatnonzero(new)
+                tf = np.diff(np.r_[starts, ck.size])
+                code_p, row_p = ck[starts], pk[starts]
+            ids_p = doc_ids[row_p]
+            dls_p = dl_by_row[row_p]
+            salts = np.full(code_p.size, salt_val, dtype=np.int32)
+            yield from _encode_sorted(
+                vocab, code_p, ids_p, tf.astype(np.int64), dls_p, salts, bsz
+            )
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([rb])
-            if salt_val is None:
-                salt_val = int(tbl.column("_salt")[0].as_py())
+            if state["pid"] is None:
+                state["pid"] = int(tbl.column("_pid")[0].as_py())
             text = pc.fill_null(tbl.column("text"), "")
             toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
             toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
             parent = pc.list_parent_indices(toks)
             flat = pc.list_flatten(toks)
             keep = pc.not_equal(flat, "")
-            flats.append(flat.filter(keep))
-            pars.append(
+            flat = flat.filter(keep)
+            state["flats"].append(flat)
+            state["pars"].append(
                 parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
-                + row_base
+                + state["rows"]
             )
-            doc_chunks.append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
-            row_base += rb.num_rows
-        if row_base == 0 or not flats:
-            return
-        doc_ids = np.concatenate(doc_chunks).astype(np.int64)
-        par = np.concatenate(pars)
-        flat_all = pa.concat_arrays(
-            [c for f in flats for c in (f.chunks if isinstance(f, pa.ChunkedArray) else [f])]
-        )
-        if len(flat_all) == 0:
-            return
-        enc_t = pc.dictionary_encode(flat_all)
-        enc_t = enc_t.combine_chunks() if isinstance(enc_t, pa.ChunkedArray) else enc_t
-        codes_tok = enc_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = enc_t.dictionary
-        dl_by_row = np.bincount(par, minlength=row_base).astype(np.int64)
-        # pack (term_code, row) into one int64 key: np.unique aggregates tf
-        # AND sorts postings into encoder order in a single call
-        rb_bits = max(int(row_base - 1), 1).bit_length()
-        cb_bits = max(len(vocab) - 1, 1).bit_length()
-        if rb_bits + cb_bits <= 63:
-            keys = (codes_tok << rb_bits) | par
-            uk, tf = np.unique(keys, return_counts=True)
-            code_p = uk >> rb_bits
-            row_p = uk & ((1 << rb_bits) - 1)
-        else:  # gigantic partition fallback: 2-pass unique
-            order = np.lexsort((par, codes_tok))
-            ck, pk = codes_tok[order], par[order]
-            new = np.r_[True, (ck[1:] != ck[:-1]) | (pk[1:] != pk[:-1])]
-            starts = np.flatnonzero(new)
-            tf = np.diff(np.r_[starts, ck.size])
-            code_p, row_p = ck[starts], pk[starts]
-        ids_p = doc_ids[row_p]
-        dls_p = dl_by_row[row_p]
-        salts = np.full(code_p.size, salt_val, dtype=np.int32)
-        yield from _encode_sorted(
-            vocab, code_p, ids_p, tf.astype(np.int64), dls_p,
-            salts, k1, b, bsz, avgdl_f,
-        )
+            state["docs"].append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+            state["rows"] += rb.num_rows
+            state["toks"] += len(flat)
+            if state["toks"] >= chunk_tokens:
+                yield from flush()
+        yield from flush()
 
     return docs.mapInArrow(encode, BLOCKS_SCHEMA)
 
 
 def build_blocks(
     salted: DataFrame,
-    avgdl: float,
     cfg: EngineConfig = DEFAULT,
     num_partitions: int | None = None,
     dictionary: DataFrame | None = None,
@@ -308,8 +379,7 @@ def build_blocks(
     (Scale bound: the vocab must fit a Spark broadcast, ~tens of millions
     of terms; pass dictionary=None beyond that.)
     """
-    k1, b, bsz = float(cfg.k1), float(cfg.b), int(cfg.block_size)
-    avgdl_f = float(avgdl)
+    bsz = int(cfg.block_size)
 
     spark = salted.sparkSession
     bvocab = None
@@ -341,8 +411,10 @@ def build_blocks(
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
         from ivfadc_spark.functions.codecs import varint_encode_with_lengths
 
+        use_scalable_pool()
         bl = [rb for rb in batches if rb.num_rows]
         if not bl:
             return
@@ -375,9 +447,7 @@ def build_blocks(
         codes, ids, tfs, dls, salts = (
             codes[order], ids[order], tfs[order], dls[order], salts[order]
         )
-        yield from _encode_sorted(
-            vocab, codes, ids, tfs, dls, salts, k1, b, bsz, avgdl_f
-        )
+        yield from _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz)
 
     # 4 waves: encode task sizes vary ~2x (Zipf vocab), so finer tasks keep
     # the last wave from stalling cores (measured: the 2-wave tail cost ~30%
@@ -399,7 +469,12 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     """
     from ivfadc_spark.functions.codecs import varint_decode
 
+    blocks = blocks.filter(F.col("term").isNotNull())  # skip doc-stat sentinels
+
     def decode(batches):
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
+
+        use_scalable_pool()
         import pyarrow as pa
 
         for rb in batches:
@@ -451,14 +526,52 @@ def block_metrics(blocks: DataFrame) -> DataFrame:
     ``cf`` is the collection frequency — which is what lets the build derive
     the dictionary FROM the encoded blocks instead of a separate tf pre-pass
     (:func:`ivfadc_spark.operators.stats.dictionary_from_metrics`)."""
-    return blocks.groupBy("term").agg(
+    return blocks.filter(F.col("term").isNotNull()).groupBy("term").agg(
         F.sum("n").alias("postings"),
         F.sum("bytes").alias("bytes"),
         F.countDistinct("salt").alias("n_salts"),
         F.count("*").alias("n_blocks"),
-        F.max("max_impact").alias("max_impact"),
+        F.max("max_tf").alias("max_tf"),
         F.sum("sum_tf").alias("cf"),
     )
+
+
+def decode_doc_stats(raw_blocks: DataFrame) -> DataFrame:
+    """(doc_id, dl) from the SENTINEL doc-stats rows (term IS NULL) the
+    in-place encoder emits per chunk — the doc-length sidecar, recovered
+    without tokenizing the corpus again. Zero-token docs are included."""
+    from ivfadc_spark.functions.codecs import varint_decode
+
+    sent = raw_blocks.filter(F.col("term").isNull()).select("n", "doc_ids", "dls")
+
+    def gen(batches):
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
+
+        use_scalable_pool()
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            counts = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            dbuf = b"".join(bytes(x) for x in tbl.column("doc_ids").to_pylist())
+            lbuf = b"".join(bytes(x) for x in tbl.column("dls").to_pylist())
+            deltas = varint_decode(dbuf, total).astype(np.int64)
+            dls = varint_decode(lbuf, total).astype(np.int64)
+            c = np.cumsum(deltas)
+            starts = np.cumsum(counts) - counts
+            base = np.where(starts > 0, c[starts - 1], 0)
+            ids = c - np.repeat(base, counts)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(dls, type=pa.int64())],
+                names=["doc_id", "dl"],
+            )
+
+    return sent.mapInArrow(gen, "doc_id long, dl long")
 
 
 def remap_blocks(blocks: DataFrame, offset: int) -> DataFrame:
@@ -482,6 +595,9 @@ def remap_blocks(blocks: DataFrame, offset: int) -> DataFrame:
     names = [f.name for f in schema.fields]
 
     def gen(batches):
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
+
+        use_scalable_pool()
         import pyarrow as pa
 
         from ivfadc_spark.functions.codecs import (

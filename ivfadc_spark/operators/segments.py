@@ -28,8 +28,9 @@ Two ways to see many segments as one corpus:
   reference's query-time union (/root/reference/SearchEngine.cpp:94-102).
 - :func:`merge_segments` — LSM compaction: the SAME remapped blocks written
   back once. O(bytes) concat+splice; postings are never decoded, sorted, or
-  re-encoded. The merged dictionary recomputes idf from the summed df (idf
-  is NOT additive), which is why blocks store idf-less max_impact.
+  re-encoded. The merged dictionary recomputes idf from the summed df and
+  merged scoring uses the union's avgdl — both legal because block bounds
+  store idf- and avgdl-free (max_tf, min_dl).
 """
 
 from __future__ import annotations
@@ -60,7 +61,25 @@ class Segment:
 
     @property
     def blocks(self) -> DataFrame:
+        """Posting blocks only (doc-stat sentinel rows excluded)."""
+        return self.raw_blocks.filter(F.col("term").isNotNull())
+
+    @property
+    def raw_blocks(self) -> DataFrame:
+        """Blocks INCLUDING the sentinel doc-stats rows (term IS NULL,
+        partition term_bucket=-1) — what merge/federation must carry."""
         return self.spark.read.parquet(os.path.join(self.path, "blocks"))
+
+    @property
+    def doc_lengths(self) -> DataFrame:
+        """(doc_id, dl) sidecar: the materialized dataset if stage 02 wrote
+        one, else decoded from the sentinel rows."""
+        p = os.path.join(self.path, "doc_lens")
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        from ivfadc_spark.operators.postings import decode_doc_stats
+
+        return decode_doc_stats(self.raw_blocks)
 
     @property
     def doc_map(self) -> DataFrame:
@@ -158,10 +177,24 @@ class SegmentSet:
 
     @property
     def blocks(self) -> DataFrame:
+        return self.raw_blocks.filter(F.col("term").isNotNull())
+
+    @property
+    def raw_blocks(self) -> DataFrame:
         out = None
         for s, off in zip(self.segments, self.offsets):
-            b = remap_blocks(s.blocks, off)
+            b = remap_blocks(s.raw_blocks, off)
             out = b if out is None else out.unionByName(b)
+        return out
+
+    @property
+    def doc_lengths(self) -> DataFrame:
+        out = None
+        for s, off in zip(self.segments, self.offsets):
+            d = s.doc_lengths.withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(off)).cast("long")
+            )
+            out = d if out is None else out.unionByName(d)
         return out
 
     @property
@@ -196,7 +229,7 @@ class SegmentSet:
             F.sum("bytes").alias("bytes"),
             F.sum("n_salts").alias("n_salts"),
             F.sum("n_blocks").alias("n_blocks"),
-            F.max("max_impact").alias("max_impact"),
+            F.max("max_tf").alias("max_tf"),
             F.sum("cf").alias("cf"),
         )
 
@@ -234,7 +267,10 @@ def write_segment(
     os.makedirs(path, exist_ok=True)
     if not blocks_prepartitioned:
         blocks = blocks.withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
+            "term_bucket",
+            F.when(F.col("term").isNull(), F.lit(-1))
+            .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)))
+            .cast("int"),
         ).repartition("term_bucket")
     (
         blocks.write.mode("overwrite")
@@ -293,7 +329,7 @@ def merge_segments(
     # per-segment append: inputs are already term_bucket-partitioned, so each
     # write task streams its own buckets — no exchange, no wide dependency
     for i, (s, off) in enumerate(zip(ss.segments, ss.offsets)):
-        remap_blocks(s.blocks, off).write.mode(
+        remap_blocks(s.raw_blocks, off).write.mode(
             "overwrite" if i == 0 else "append"
         ).partitionBy("term_bucket").parquet(p_blocks)
     ss.doc_map.write.mode("overwrite").parquet(os.path.join(out_path, "doc_map"))

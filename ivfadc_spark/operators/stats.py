@@ -66,6 +66,9 @@ def term_frequencies_mapside(
     pattern = DEFAULT.token_pattern
 
     def gen(batches):
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
+
+        use_scalable_pool()
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -128,6 +131,9 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     def gen(batches):
+        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
+
+        use_scalable_pool()
         import pyarrow as pa
         import pyarrow.compute as pc
 

@@ -78,9 +78,14 @@ def _scan_one_query(
         return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
     qid = int(pdf["query_id"].iloc[0])
-    # per-term upper bound: idf * max block impact
+    # per-term upper bound from the avgdl-free block stats:
+    # idf * impact(max_tf, min_dl, avgdl) >= idf * impact(tf_i, dl_i, avgdl)
+    # (impact is increasing in tf, decreasing in dl)
+    mt = pdf["max_tf"].to_numpy(np.float64)
+    md = pdf["min_dl"].to_numpy(np.float64)
+    ub_imp = (mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b + b * md / avgdl))
     term_ub = (
-        pdf.assign(ub=pdf["idf"] * pdf["max_impact"])
+        pdf.assign(ub=pdf["idf"].to_numpy(np.float64) * ub_imp)
         .groupby("term", sort=False)["ub"]
         .max()
         .sort_values(ascending=False)
@@ -209,11 +214,19 @@ def bm25_topk_batch(
             "sharding (cfg.doc_shards > 0); this segment was df-salted — "
             "use bm25_topk_indexed instead"
         )
-    # range-partition on salt: hash repartition collides shard ids into
+    # scan granularity = the PARTITION-level doc shard (salt // span): the
+    # fine chunk salts only bounded the encoder's working set — grouping by
+    # them would pay per-group fixed costs hundreds of times per task.
+    # range-partition on shard: hash repartition collides shard ids into
     # uneven tasks (~1/e of partitions empty, stragglers with 2-3 shards);
-    # contiguous salt ranges give one-ish shard per task
+    # contiguous ranges give one-ish shard per task.
+    from ivfadc_spark.operators.postings import SALT_CHUNK_SPAN
+
     par = spark.sparkContext.defaultParallelism
-    cand = blocks.repartitionByRange(min(n_shards, par * 2), "salt")
+    blocks = blocks.withColumn(
+        "shard", (F.col("salt") / F.lit(SALT_CHUNK_SPAN)).cast("int")
+    ).drop("salt")
+    cand = blocks.repartitionByRange(min(n_shards, par * 2), "shard")
 
     # key stride = the TOTAL doc id space (zero-token docs included: ids are
     # dense over all transcript rows, so max doc_id can exceed the BM25
@@ -245,7 +258,7 @@ def bm25_topk_batch(
             return
         whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         qp = bq.value
-        for _salt, sg in whole.groupby("salt", sort=False):
+        for _shard, sg in whole.groupby("shard", sort=False):
             # whole-shard vectorized decode: varint streams are
             # self-delimiting, so ALL blocks decode in three codec calls
             # (per-block calls cost ~0.3ms each and dominate otherwise);

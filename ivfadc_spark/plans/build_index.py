@@ -38,7 +38,7 @@ import os
 import time
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ivfadc_spark.config import DEFAULT, EngineConfig
@@ -47,6 +47,7 @@ from ivfadc_spark.operators.postings import (
     block_metrics,
     build_blocks,
     build_blocks_inplace,
+    decode_doc_stats,
     salted_tf,
 )
 from ivfadc_spark.operators.segments import Segment
@@ -133,33 +134,21 @@ def build_index(
     if not stage("00_doc_map"):
         t0 = time.time()
         with_ids = assign_doc_ids(transcripts)
-        # doc_map carries dl (token count via one Arrow/RE2 pass — the JVM
-        # size(split(...)) form allocates a boxed token array per row and
-        # anti-scales in a single JVM at high thread counts): it IS the
-        # per-doc-norm sidecar, and its aggregate gives the encoder
-        # n_docs/avgdl without any pass over posting rows
+        # pure-JVM doc_map write; the row count rides on the write job via
+        # an Observation (no second pass). n_docs/avgdl are NOT needed yet:
+        # the encoder's block bounds are avgdl-free, and stage 02 recovers
+        # the per-doc token counts from the encoder's sentinel rows.
+        obs = Observation("doc_map")
         (
-            S.with_token_counts(
-                with_ids.select("doc_id", "conv_id", "turn_idx", "text")
-            )
+            with_ids.select("doc_id", "conv_id", "turn_idx")
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("overwrite")
             .parquet(p_docs)
         )
-        agg = spark.read.parquet(p_docs).agg(
-            F.count("*").alias("rows"),
-            F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
-            F.sum("dl").alias("tokens"),
-        ).collect()[0]
-        n_docs = int(agg["n_docs"] or 0)
-        record(
-            "00_doc_map", t0,
-            rows=int(agg["rows"]),
-            doc_space=int(agg["rows"]),
-            n_docs=n_docs,
-            avgdl=(float(agg["tokens"]) / n_docs) if n_docs else 0.0,
-        )
+        rows = int(obs.get["rows"])
+        record("00_doc_map", t0, rows=rows, doc_space=rows)
     st0 = done["00_doc_map"]
-    n_docs, avgdl, doc_space = st0["n_docs"], st0["avgdl"], st0["doc_space"]
+    doc_space = st0["doc_space"]
 
     if not stage("01_blocks"):
         t0 = time.time()
@@ -178,34 +167,39 @@ def build_index(
                     f"(rows/hash {got} != {want}); input changed or keys are not "
                     "unique — rebuild without resume"
                 )
+        extra = {}
         if cfg.doc_shards > 0:
             # combiner path: tokenize -> tf -> sort -> encode in ONE map
-            # pass over the range-partitioned cache; the doc shard is the
-            # partition ordinal (contiguous doc range), so NO posting row
+            # pass over the range-partitioned cache; the doc shard is a
+            # bounded doc-range chunk of the partition, so NO posting row
             # ever crosses the network — only encoded blocks move, in the
-            # term_bucket layout repartition below
+            # term_bucket layout repartition below. Sentinel rows land in
+            # the term_bucket=-1 partition.
             docs = with_ids.select("doc_id", "text")
             n_shards = int(docs.rdd.getNumPartitions())
-            blocks = build_blocks_inplace(docs, avgdl, cfg)
+            blocks = build_blocks_inplace(docs, cfg)
             tf_cached = None
         else:
             n_shards = 0  # df-salted: not doc-sharded
             # legacy df-salted layout: needs the full tf fact table + a
-            # dictionary pre-pass before the (term, salt) exchange
+            # dictionary pre-pass before the (term, salt) exchange; stats
+            # come from the persisted tf (no sentinels on this path)
             tf = S.term_frequencies_mapside(with_ids.select("doc_id", "text"))
-            # legacy df-driven salting needs per-term df before the encode:
-            # persist tf once (serialized, tmpfs-backed) instead of a parquet
-            # round-trip, build the dictionary pre-pass, keep the int
-            # term_id exchange
             tf_cached = tf.persist(StorageLevel.DISK_ONLY)
-            S.dictionary(tf_cached, n_docs).write.mode("overwrite").parquet(p_dict)
+            cs = S.corpus_stats_from_tf(tf_cached)
+            extra.update(n_docs=cs["n_docs"], avgdl=cs["avgdl"])
+            S.dictionary(tf_cached, cs["n_docs"]).write.mode("overwrite").parquet(p_dict)
             d = spark.read.parquet(p_dict)
             salted = salted_tf(tf_cached, None, d, cfg)
-            blocks = build_blocks(salted, avgdl, cfg, dictionary=d)
+            blocks = build_blocks(salted, cfg, dictionary=d)
         (
             blocks.withColumn(
                 "term_bucket",
-                F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int"),
+                # xxhash64(NULL) is the seed hash, not NULL — route the
+                # sentinel rows explicitly
+                F.when(F.col("term").isNull(), F.lit(-1))
+                .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)))
+                .cast("int"),
             )
             .repartition("term_bucket")
             .write.mode("overwrite")
@@ -214,7 +208,7 @@ def build_index(
         )
         if tf_cached is not None:
             tf_cached.unpersist()
-        extra = {"n_shards": n_shards}
+        extra["n_shards"] = n_shards
         if measure_skew:
             extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_blocks))
         record("01_blocks", t0, **extra)
@@ -223,19 +217,46 @@ def build_index(
 
     if not stage("02_dict"):
         t0 = time.time()
-        blocks_df = spark.read.parquet(p_blocks)
-        block_metrics(blocks_df).write.mode("overwrite").parquet(p_metrics)
-        met_df = spark.read.parquet(p_metrics)
+        raw = spark.read.parquet(p_blocks)
+        if cfg.doc_shards > 0:
+            # corpus stats + doc-length sidecar from the encoder's sentinel
+            # rows (term_bucket=-1 partition — a pruned scan): one tiny
+            # decode instead of a corpus tokenize. n_docs keeps the BM25
+            # convention (docs with >= 1 token).
+            obs = Observation("doc_lens")
+            (
+                decode_doc_stats(raw.filter(F.col("term_bucket") == -1))
+                .observe(
+                    obs,
+                    F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
+                    F.sum("dl").alias("tokens"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(p_seg, "doc_lens"))
+            )
+            n_docs = int(obs.get["n_docs"] or 0)
+            avgdl = (float(obs.get["tokens"]) / n_docs) if n_docs else 0.0
+        else:
+            st1 = done["01_blocks"]
+            n_docs, avgdl = st1["n_docs"], st1["avgdl"]
+        mobs = Observation("metrics")
+        (
+            block_metrics(raw)
+            .observe(
+                mobs,
+                F.sum("postings").alias("postings"),
+                F.sum("bytes").alias("bytes"),
+                F.max("postings").alias("max_term_postings"),
+            )
+            .write.mode("overwrite")
+            .parquet(p_metrics)
+        )
         if cfg.doc_shards > 0:
             # dictionary derived from the blocks (df = postings, cf summed)
             S.dictionary_from_metrics(
-                met_df.select("term", "postings", "cf"), n_docs
+                spark.read.parquet(p_metrics).select("term", "postings", "cf"), n_docs
             ).write.mode("overwrite").parquet(p_dict)
-        met = met_df.agg(
-            F.sum("postings").alias("postings"),
-            F.sum("bytes").alias("bytes"),
-            F.max("postings").alias("max_term_postings"),
-        ).collect()[0]
+        met = mobs.get
         meta = {
             "n_docs": int(n_docs),
             "avgdl": float(avgdl),

@@ -218,7 +218,7 @@ def q_bm25_conjunctive_indexed(spark, sf_dir):
         queries,
         dec.select("term", "doc_id", "tf"),
         seg.dictionary,
-        seg.doc_map.select("doc_id", "dl"),
+        seg.doc_lengths,
         seg.meta["avgdl"],
         k=10,
     )
@@ -783,6 +783,52 @@ def q_kmeans_train(spark, sf_dir):
     )
 
 
+_IVF_TRAIN_ITERS = 2
+
+
+def q_knn_ivf_trained(spark, sf_dir):
+    """Mode-1 -> mode-3 end to end: TRAIN the coarse codebook (2 Lloyd
+    cycles, rounded centroids) and probe it — the full IVFADC workflow
+    (train /root/reference/ivfpq_new.cpp:61-99, then search
+    /root/reference/SearchEngine.cpp:112-212) on embeddings."""
+    from ivfadc_spark.operators.clustering import kmeans_train
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents, _, _ = kmeans_train(
+        e, k=_IVF_NCENTROIDS, max_iters=_IVF_TRAIN_ITERS, tol=0.0,
+        metric="cosine", seeding="first", round_decimals=6,
+    )
+    cents = cents.copy()
+    cents["b"] = [list(map(float, x)) for x in cents["b"]]
+    cent = spark.createDataFrame(cents, schema="cell int, b array<double>")
+    sim = e.select("vec_id", "v", F.col("v").alias("a")).crossJoin(
+        F.broadcast(cent)
+    ).withColumn("cos_c", _cosine_cols())
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    ranked = sim.withColumn("r", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("r") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "cell"
+    )
+    probes = (
+        ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("a"), "cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "cand_id", "cosine")
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF-probed ANN — the direct IVFADC graft on embeddings: a coarse
     codebook (deterministic: vectors vec_id < 16) keys inverted cell lists;
@@ -1183,17 +1229,17 @@ SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
 """
 
 
-def _kmeans_train_oracle_sql(iters: int) -> str:
-    """DuckDB oracle for q_kmeans_train: the SAME fixed number of Lloyd
-    cycles, unrolled as CTEs, with identical per-iteration centroid rounding
-    (so float-summation order cannot fork the assignment trajectory)."""
+def _duck_cos(v, b):
+    return (
+        f"list_dot_product({v}, {b}) / "
+        f"(sqrt(list_dot_product({v},{v})) * sqrt(list_dot_product({b},{b})))"
+    )
 
-    def cos(v, b):
-        return (
-            f"list_dot_product({v}, {b}) / "
-            f"(sqrt(list_dot_product({v},{v})) * sqrt(list_dot_product({b},{b})))"
-        )
 
+def _kmeans_cte_parts(iters: int) -> list:
+    """CTE chain e, dims, c0, (a_i, m_i, c_i)*: the SAME fixed number of
+    Lloyd cycles the Spark loop runs, with identical per-iteration centroid
+    rounding (so float-summation order cannot fork the trajectory)."""
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         "dims AS (SELECT unnest(generate_series(1, "
@@ -1205,25 +1251,51 @@ def _kmeans_train_oracle_sql(iters: int) -> str:
             f"a{i} AS (SELECT vec_id, v, cell FROM (\n"
             f"  SELECT e.vec_id, e.v, c.cell,\n"
             f"         row_number() OVER (PARTITION BY e.vec_id ORDER BY "
-            f"{cos('e.v', 'c.b')} DESC, c.cell) AS r\n"
+            f"{_duck_cos('e.v', 'c.b')} DESC, c.cell) AS r\n"
             f"  FROM e, c{i - 1} c) WHERE r = 1)"
         )
         parts.append(
             f"m{i} AS (SELECT cell, gs - 1 AS dim, count(*) AS n_members, "
             f"round(avg(v[gs::INT]), 6) AS m FROM a{i} CROSS JOIN dims GROUP BY cell, gs)"
         )
-        if i < iters:
-            parts.append(
-                f"c{i} AS (SELECT cell, list(m ORDER BY dim) AS b FROM m{i} GROUP BY cell)"
-            )
+        parts.append(
+            f"c{i} AS (SELECT cell, list(m ORDER BY dim) AS b FROM m{i} GROUP BY cell)"
+        )
+    return parts
+
+
+def _kmeans_train_oracle_sql(iters: int) -> str:
     return (
-        "WITH " + ",\n".join(parts)
+        "WITH " + ",\n".join(_kmeans_cte_parts(iters))
         + f"\nSELECT cell::INT AS cell, dim::INT AS dim, "
         f"n_members::BIGINT AS n_members, m AS mean_val FROM m{iters}"
     )
 
 
 ORACLES["kmeans_train"] = _kmeans_train_oracle_sql(_KMEANS_TRAIN_ITERS)
+
+ORACLES["knn_ivf_trained"] = (
+    "WITH " + ",\n".join(_kmeans_cte_parts(_IVF_TRAIN_ITERS)) + f""",
+sim AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_duck_cos('e.v', 'c.b')} DESC, c.cell) AS r
+  FROM e, c{_IVF_TRAIN_ITERS} c
+),
+assigned AS (SELECT vec_id AS cand_id, v AS b, cell FROM sim WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, v AS a, cell FROM sim
+           WHERE r <= {_IVF_NPROBE} AND vec_id % 100 = 7),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS cosine
+  FROM probes JOIN assigned USING(cell) WHERE query_id <> cand_id
+)
+SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+)
 
 ORACLES["bm25_topk_batch"] = _BM25_TOPK_SQL.format(values=_values_sql())
 ORACLES["bm25_conjunctive_indexed"] = ORACLES["bm25_topk_conjunctive"]
@@ -1287,6 +1359,7 @@ QUERIES = {
     "fingerprint_rolling": q_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf_probe": q_knn_ivf,
+    "knn_ivf_trained": q_knn_ivf_trained,
     "kmeans_recompute": q_kmeans_recompute,
     "kmeans_train": q_kmeans_train,
 }

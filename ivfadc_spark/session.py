@@ -37,6 +37,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Arrow pool for every python worker: the default jemalloc pool is
+    # bimodally slow under many-process concurrency on one host (measured:
+    # ~8x swings on the build kernels at 16 workers); mimalloc is stable and
+    # scales. Workers inherit this env; the engine's kernels also set the
+    # pool explicitly (functions/arrow_pool.py).
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
@@ -68,6 +74,8 @@ def get_spark(
         # hosts (often 50% RAM or less) would hit no-space/OOM where plain
         # disk degrades gracefully.
         .config("spark.local.dir", _default_local_dir())
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+                os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "mimalloc"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -52,15 +52,10 @@ def main() -> None:
         from ivfadc_spark.operators.query import bm25_topk_conjunctive, query_terms
 
         terms = [r["term"] for r in query_terms(queries).distinct().collect()]
-        # term-pruned decode for tf; dl comes straight from the doc_map
-        # sidecar (layout v2) — no distinct() over decoded postings
+        # term-pruned decode for tf; dl comes from the doc-length sidecar
+        # (materialized or sentinel-decoded) — no distinct() over postings
         dec = decode_blocks(seg.blocks.filter(F.col("term").isin(terms)))
-        dm = seg.doc_map
-        dl = (
-            dm.select("doc_id", "dl")
-            if "dl" in dm.columns
-            else dec.select("doc_id", "dl").distinct()
-        )
+        dl = seg.doc_lengths
         out = bm25_topk_conjunctive(
             queries,
             dec.select("term", "doc_id", "tf"),

@@ -111,7 +111,7 @@ def test_salting_applied_and_equivalent(spark, corpus):
     cs = S.corpus_stats(dl)
     d = S.dictionary(tf, cs["n_docs"])
     no_salt = EngineConfig(block_size=16, salt_df_threshold=10**9)
-    blocks2 = build_blocks(salted_tf(tf, dl, d, no_salt), cs["avgdl"], no_salt)
+    blocks2 = build_blocks(salted_tf(tf, dl, d, no_salt), no_salt)
     a = decode_blocks(seg.blocks).orderBy("term", "doc_id").toPandas()
     b = decode_blocks(blocks2).orderBy("term", "doc_id").toPandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

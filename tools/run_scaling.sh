@@ -14,7 +14,15 @@ cd "$(dirname "$0")/.."
 N1="${SCALING_N1:-4}"
 N2="${SCALING_N2:-16}"
 TRIALS="${SCALING_TRIALS:-3}"
-NCONV="${SCALING_NCONV:-320000}"
+# 1.28M conversations (~16.6M turns): large enough that per-job driver
+# latencies (a fixed cost a real cluster also pays once per job, not per
+# byte) stay a small fraction of the upper leg's wall — scaling measured on
+# a bigger corpus is MORE representative of the 10^12-turn target
+NCONV="${SCALING_NCONV:-1280000}"
+# stable many-worker Arrow allocator for the python workers (see
+# ivfadc_spark/functions/arrow_pool.py); spark-submit's JVM is the worker
+# parent, so the env must be set here, not in the driver script
+export ARROW_DEFAULT_MEMORY_POOL="${ARROW_DEFAULT_MEMORY_POOL:-mimalloc}"
 CORPUS="${SCALING_CORPUS:-/tmp/ivfadc_scaling_tx_${NCONV}.parquet}"
 QUERIES="${SCALING_QUERIES:-50000}"
 mkdir -p BENCH
