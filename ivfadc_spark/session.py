@@ -31,6 +31,41 @@ def _default_local_dir() -> str:
     return os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark-local")
 
 
+def total_cores_from_master(master: str) -> int | None:
+    """Total executor cores a master string promises, or None if unknowable
+    from the string alone (yarn/standalone urls)."""
+    if master.startswith("local-cluster["):
+        n, c = master[master.find("[") + 1 : master.find("]")].split(",")[:2]
+        return int(n) * int(c)
+    if master.startswith("local["):
+        n = master[master.find("[") + 1 : master.find("]")]
+        return os.cpu_count() if n == "*" else int(n)
+    return None
+
+
+def wait_for_executors(spark: SparkSession, timeout_s: float = 60.0) -> int:
+    """Block until every executor the master string promises has registered,
+    and return the total core count. On a real cluster a job submitted
+    before executors register just runs under-parallel; for a scaling
+    measurement that skews the whole leg, so the bench waits. No-op for
+    plain local[N] (executors are the driver)."""
+    import time as _t
+
+    sc = spark.sparkContext
+    want = total_cores_from_master(sc.master)
+    if want is None or not sc.master.startswith("local-cluster"):
+        return want or sc.defaultParallelism
+    deadline = _t.time() + timeout_s
+    while _t.time() < deadline:
+        # defaultParallelism = sum of registered executors' cores
+        if sc.defaultParallelism >= want:
+            return want
+        _t.sleep(0.2)
+    raise TimeoutError(
+        f"only {sc.defaultParallelism}/{want} cores registered after {timeout_s}s"
+    )
+
+
 def get_spark(
     app_name: str = "ivfadc_spark",
     master: str | None = None,
@@ -84,10 +119,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     if shuffle_partitions is None:
-        # spark-submit path: size the shuffle to the actual core count
+        # spark-submit path: size the shuffle to the actual core count.
+        # Parse the master string rather than defaultParallelism — under
+        # local-cluster the latter reads 2 until executors register.
+        cores = total_cores_from_master(spark.sparkContext.master)
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(max(8, spark.sparkContext.defaultParallelism)),
+            str(max(8, cores or spark.sparkContext.defaultParallelism)),
         )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -43,12 +43,14 @@ def main() -> None:
     from ivfadc_spark.config import EngineConfig
     from ivfadc_spark.operators.wand import bm25_topk_batch
     from ivfadc_spark.plans.build_index import build_index
-    from ivfadc_spark.session import get_spark
+    from ivfadc_spark.session import get_spark, wait_for_executors
     from ivfadc_spark.sources.transcripts import synth_transcripts_fast_pdf
 
     spark = get_spark("ivfadc-bench-scaling")
     master = spark.sparkContext.master
-    cores = spark.sparkContext.defaultParallelism
+    # local-cluster[n,c,m]: executors are separate JVMs that register
+    # asynchronously — wait so the measured window runs fully parallel
+    cores = wait_for_executors(spark)
 
     if not os.path.exists(args.corpus):
         pdf = synth_transcripts_fast_pdf(
@@ -72,7 +74,7 @@ def main() -> None:
     warm_tx = spark.createDataFrame(
         warm_pdf,
         schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
-    ).repartition(spark.sparkContext.defaultParallelism * 2)
+    ).repartition(cores * 2)
     warm_dir = tempfile.mkdtemp(prefix="ivfadc_scaling_warm_")
     build_index(spark, warm_tx, warm_dir, cfg=cfg).blocks.count()
     shutil.rmtree(warm_dir, ignore_errors=True)

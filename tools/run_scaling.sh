@@ -1,18 +1,33 @@
 #!/usr/bin/env bash
 # N-vs-4N scaling-efficiency protocol (BASELINE.md): the same spark-submit job
-# on the SAME input at two pinned core counts (default 4 and 16), multiple
-# interleaved trials per leg with per-metric best (the sandbox host has
-# multi-minute noisy-neighbor episodes with 2-6x swings; minima estimate the
-# quiet-host throughput both legs would see on dedicated hardware). taskset
-# pins the WHOLE process tree (JVM + python workers): without it a local[N]
-# driver's python workers spill onto the remaining cores and the "N-core"
-# leg silently uses ~2N. Also records a raw-CPU control (busy loops at the
-# same two core counts) = the hardware scaling ceiling of this host.
+# on the SAME input at two parallelism levels, multiple interleaved trials per
+# leg with per-metric best (the sandbox host has multi-minute noisy-neighbor
+# episodes with 2-6x swings; minima estimate the quiet-host throughput both
+# legs would see on dedicated hardware). taskset pins the WHOLE process tree
+# (JVMs + python workers): without it a 4-core leg's python workers spill onto
+# the remaining cores and it silently uses ~2N. Also records a raw-CPU control
+# (busy loops at the same two core counts) = the hardware ceiling of this host.
+#
+# Default mode = EXECUTOR CLUSTER: local-cluster[n,c,mem] spawns n real
+# executor JVMs (own heap, GC, shuffle server, python-worker pool) talking to
+# the driver over RPC — the faithful sandbox substitute for "N vs 4N
+# executors" (north_rule). Leg 1 = 1 executor x EXEC_CORES, leg 2 = 4
+# executors x EXEC_CORES, same per-executor shape, 4x the count, exactly how
+# a real cluster scales out. SCALING_MODE=threads falls back to the old
+# single-JVM local[4]-vs-local[16] comparison (kept for continuity with the
+# round-1 numbers; it under-reports scaling because one JVM's allocator,
+# page-fault path and Arrow IPC feed are shared by all 16 threads — an
+# artifact separate executor JVMs do not have).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-N1="${SCALING_N1:-4}"
-N2="${SCALING_N2:-16}"
+MODE="${SCALING_MODE:-cluster}"
+EXEC_CORES="${SCALING_EXEC_CORES:-4}"
+EXEC_MEM_MB="${SCALING_EXEC_MEM_MB:-16384}"
+N1_EXECS="${SCALING_N1_EXECS:-1}"
+N2_EXECS="${SCALING_N2_EXECS:-4}"
+N1="${SCALING_N1:-$((N1_EXECS * EXEC_CORES))}"
+N2="${SCALING_N2:-$((N2_EXECS * EXEC_CORES))}"
 TRIALS="${SCALING_TRIALS:-3}"
 # 1.28M conversations (~16.6M turns): large enough that per-job driver
 # latencies (a fixed cost a real cluster also pays once per job, not per
@@ -31,16 +46,22 @@ python tools/make_dist.py >/dev/null
 python tools/cpu_control.py --n1 "$N1" --n2 "$N2" --out BENCH/cpu_control.json
 
 run() {
-  local n="$1" t="$2"
-  taskset -c "0-$((n - 1))" spark-submit --master "local[$n]" --py-files dist/engine.zip \
-    --conf spark.driver.memory=48g \
+  local execs="$1" t="$2"
+  local ncores=$((execs * EXEC_CORES)) master
+  if [ "$MODE" = cluster ]; then
+    master="local-cluster[$execs,$EXEC_CORES,$EXEC_MEM_MB]"
+  else
+    master="local[$ncores]"
+  fi
+  taskset -c "0-$((ncores - 1))" spark-submit --master "$master" --py-files dist/engine.zip \
+    --conf spark.driver.memory="${SCALING_DRIVER_MEM:-8g}" \
     jobs/bench_scaling.py --corpus "$CORPUS" --n-conv "$NCONV" \
-    --queries "$QUERIES" --out "BENCH/run_n${n}_t${t}.json" 2>/dev/null | tail -1
+    --queries "$QUERIES" --out "BENCH/run_n${ncores}_t${t}.json" 2>/dev/null | tail -1
 }
 
 for t in $(seq 1 "$TRIALS"); do
-  echo "== trial $t local[$N1]" && run "$N1" "$t"
-  echo "== trial $t local[$N2]" && run "$N2" "$t"
+  echo "== trial $t ${MODE} $N1 cores" && run "$N1_EXECS" "$t"
+  echo "== trial $t ${MODE} $N2 cores" && run "$N2_EXECS" "$t"
 done
 
 python tools/report_scaling.py "$N1" "$N2" "$TRIALS"
