@@ -130,10 +130,17 @@ def build_index(
     p_dict = os.path.join(p_seg, "dict")
     p_metrics = os.path.join(p_seg, "metrics")
 
+    # Partition count = cfg.doc_shards, NOT a multiple of the session's
+    # parallelism: the segment layout (and therefore the per-query work of
+    # the doc-sharded batch path) must not depend on how many executors
+    # happened to run the build — identical input must yield an identical
+    # index at any cluster size. doc ids themselves are partitioning-
+    # independent either way (global range order).
+    n_parts = cfg.doc_shards if cfg.doc_shards > 0 else None
     with_ids = None
     if not stage("00_doc_map"):
         t0 = time.time()
-        with_ids = assign_doc_ids(transcripts)
+        with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
         # pure-JVM doc_map write; the row count rides on the write job via
         # an Observation (no second pass). n_docs/avgdl are NOT needed yet:
         # the encoder's block bounds are avgdl-free, and stage 02 recovers
@@ -156,7 +163,7 @@ def build_index(
             # resuming past a completed 00 in a fresh session: re-derive ids
             # and PROVE the recompute reproduces the checkpointed doc_map
             # (duplicate keys or a changed input layout could permute ties)
-            with_ids = assign_doc_ids(transcripts)
+            with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
             got = _doc_map_fingerprint(with_ids.select("doc_id", "conv_id", "turn_idx"))
             want = _doc_map_fingerprint(
                 spark.read.parquet(p_docs).select("doc_id", "conv_id", "turn_idx")
@@ -201,7 +208,14 @@ def build_index(
                 .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)))
                 .cast("int"),
             )
-            .repartition("term_bucket")
+            # NO repartition before the partitioned write: each encode task
+            # streams its blocks straight into per-bucket files. A
+            # repartition("term_bucket") here shuffles every encoded block
+            # byte a second time and (with AQE coalescing) collapses the
+            # write into a handful of under-parallel tasks — profiled as a
+            # fixed ~14s stage at ANY core count. Cost of skipping it:
+            # n_tasks files per bucket instead of one, which the pruned
+            # bucket scans don't care about.
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(p_blocks)

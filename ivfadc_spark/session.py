@@ -72,12 +72,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    # Arrow pool for every python worker: the default jemalloc pool is
-    # bimodally slow under many-process concurrency on one host (measured:
-    # ~8x swings on the build kernels at 16 workers); mimalloc is stable and
-    # scales. Workers inherit this env; the engine's kernels also set the
-    # pool explicitly (functions/arrow_pool.py).
-    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+    # Allocator env for every python worker: mimalloc Arrow pool (the
+    # default jemalloc pool is bimodally slow under many-process concurrency)
+    # and no page purging (returning freed pages to the OS makes concurrent
+    # workers re-fault them each chunk; kernel page-fault/zeroing contention
+    # was the worst measured scaling bottleneck — 9x on the encode kernel at
+    # 16 workers). See functions/arrow_pool.py for the measurements.
+    from ivfadc_spark.functions.arrow_pool import scalable_alloc_env
+
+    alloc_env = scalable_alloc_env()
+    for k, v in alloc_env.items():
+        os.environ.setdefault(k, v)
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
@@ -109,8 +114,11 @@ def get_spark(
         # hosts (often 50% RAM or less) would hit no-space/OOM where plain
         # disk degrades gracefully.
         .config("spark.local.dir", _default_local_dir())
-        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
-                os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "mimalloc"))
+    )
+    for k, v in alloc_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
+    builder = (
+        builder
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -47,13 +47,25 @@ def main() -> None:
     def fmt_trials(rs, key):
         return ", ".join(f"{r[key]:,.1f}" for r in rs)
 
+    m1, m2 = b1.get("master", f"local[{n1}]"), b2.get("master", f"local[{n2}]")
+    cluster = m1.startswith("local-cluster")
+    if cluster:
+        shape = (
+            f"executor JVMs (`{m1}` on {n1} cores vs `{m2}` on {n2} cores — real "
+            "separate executor processes with their own heap, GC, shuffle server "
+            "and python-worker pool, registered with the driver over RPC; the "
+            "same per-executor shape at 1x and 4x the executor count, which is "
+            "exactly how a cluster scales out)"
+        )
+    else:
+        shape = f"core counts (taskset, `{m1}` on {n1} cores vs `{m2}` on {n2} cores)"
     lines = [
         "# BENCH/BASELINE — measured throughput & scaling efficiency",
         "",
         "Protocol: `tools/run_scaling.sh` — the same spark-submit job",
         "(`jobs/bench_scaling.py`) on the SAME input parquet at two pinned",
-        f"core counts (taskset, local[{n1}] on {n1} cores vs local[{n2}] on {n2}",
-        "cores), the sandbox substitute for N vs 4N executors (BASELINE.md /",
+        f"{shape},",
+        "the sandbox substitute for N vs 4N executors (BASELINE.md /",
         f"north_rule). Deterministic corpus, seed=42. {trials} interleaved",
         "trials per leg, per-metric best (host has multi-minute noisy-neighbor",
         "episodes; minima estimate dedicated-hardware walls).",
@@ -61,7 +73,7 @@ def main() -> None:
         f"- corpus: {b1['n_turns']:,} turns; query batch: {b1['n_queries']:,} "
         f"seeded multi-term queries, top-10, one warm-up batch",
         "",
-        f"| metric | local[{n1}] best | local[{n2}] best | ratio | efficiency (ratio/{ratio:.0f}) |",
+        f"| metric | {n1}-core best | {n2}-core best | ratio | efficiency (ratio/{ratio:.0f}) |",
         "|---|---|---|---|---|",
         f"| index build (turns/sec) | {b1['turns_per_sec']:,.1f} | "
         f"{b2['turns_per_sec']:,.1f} | "
@@ -108,6 +120,17 @@ def main() -> None:
         "keeps both legs in the regime where local mode faithfully emulates",
         "per-executor behavior.",
     ]
+    if cluster:
+        lines += [
+            "",
+            "Why local-cluster mode: `local-cluster[n,c,mem]` is the sandbox's",
+            "closest analog of a real multi-executor deployment — n separate",
+            "executor JVMs, each with its own heap, GC, Arrow IPC feed and",
+            "python workers, exchanging shuffle blocks over TCP. The 1-executor",
+            "vs 4-executor comparison therefore measures exactly the north",
+            "rule's N-vs-4N-executor scaling, without the single-process",
+            "allocator/page-fault artifacts thread-mode local[N] adds on top.",
+        ]
     out = os.path.join(BENCH, "BASELINE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -34,10 +34,16 @@ TRIALS="${SCALING_TRIALS:-3}"
 # byte) stay a small fraction of the upper leg's wall — scaling measured on
 # a bigger corpus is MORE representative of the 10^12-turn target
 NCONV="${SCALING_NCONV:-1280000}"
-# stable many-worker Arrow allocator for the python workers (see
-# ivfadc_spark/functions/arrow_pool.py); spark-submit's JVM is the worker
-# parent, so the env must be set here, not in the driver script
+# stable many-worker allocator env for the python workers (see
+# ivfadc_spark/functions/arrow_pool.py): mimalloc Arrow pool + NO page
+# purging — concurrent page-fault/zeroing in the kernel was the dominant
+# measured scaling bottleneck (9x on the encode kernel at 16 workers).
+# spark-submit's JVM is the worker parent, so the env must be set here, not
+# in the driver script (session.py also injects spark.executorEnv.*).
 export ARROW_DEFAULT_MEMORY_POOL="${ARROW_DEFAULT_MEMORY_POOL:-mimalloc}"
+export MIMALLOC_PURGE_DELAY="${MIMALLOC_PURGE_DELAY:--1}"
+export MALLOC_MMAP_THRESHOLD_="${MALLOC_MMAP_THRESHOLD_:-1073741824}"
+export MALLOC_TRIM_THRESHOLD_="${MALLOC_TRIM_THRESHOLD_:-1073741824}"
 CORPUS="${SCALING_CORPUS:-/tmp/ivfadc_scaling_tx_${NCONV}.parquet}"
 QUERIES="${SCALING_QUERIES:-50000}"
 mkdir -p BENCH
@@ -53,10 +59,14 @@ run() {
   else
     master="local[$ncores]"
   fi
+  # spark.executor.memory defaults to 1g even when the local-cluster worker
+  # owns EXEC_MEM_MB — request (almost) the whole worker allocation or the
+  # executors OOM and the app aborts at startup
   taskset -c "0-$((ncores - 1))" spark-submit --master "$master" --py-files dist/engine.zip \
     --conf spark.driver.memory="${SCALING_DRIVER_MEM:-8g}" \
+    --conf spark.executor.memory="$((EXEC_MEM_MB - 1024))m" \
     jobs/bench_scaling.py --corpus "$CORPUS" --n-conv "$NCONV" \
-    --queries "$QUERIES" --out "BENCH/run_n${ncores}_t${t}.json" 2>/dev/null | tail -1
+    --queries "$QUERIES" --out "BENCH/run_n${ncores}_t${t}.json" 2>"/tmp/scaling_leg_n${ncores}_t${t}.err" | tail -1
 }
 
 for t in $(seq 1 "$TRIALS"); do
