@@ -88,6 +88,13 @@ def main() -> None:
             f"{ceiling['rate_n2'] / 1e6:,.1f}M/s | "
             f"{ceiling['rate_n2'] / ceiling['rate_n1']:.2f}x | **{ce:.3f}** (host ceiling) |",
         ]
+        if "stream_gbps_n1" in ceiling:
+            se = ceiling["stream_ceiling_efficiency"]
+            lines += [
+                f"| streaming-bandwidth control (memcpy-class) | {ceiling['stream_gbps_n1']:.1f} GB/s | "
+                f"{ceiling['stream_gbps_n2']:.1f} GB/s | "
+                f"{ceiling['stream_gbps_n2'] / ceiling['stream_gbps_n1']:.2f}x | **{se:.3f}** (bandwidth ceiling) |",
+            ]
     lines += [
         "",
         f"- per-trial turns/sec @{n1}: [{fmt_trials(r1s, 'turns_per_sec')}] "
