@@ -700,6 +700,34 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal decode -> features, for real: deterministic synthetic
+    media table (PNG images, PCM WAVs, opaque video blobs — no external
+    data), stdlib decode (zlib/wave), 32-dim features per payload.
+
+    No SQL oracle exists for image decoding, so this entry takes the
+    driver's rows-only check; the codec layer itself is spec-tested in
+    tests/test_media_codecs.py (all five PNG filter types vs a scalar
+    reference implementation)."""
+    from ivfadc_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=96, seed=42)
+    feats = extract_features(media)
+    f = F.col("feature")
+    return (
+        feats.select(
+            "media_id",
+            "kind",
+            F.round(F.element_at(f, 1).cast("double"), 6).alias("f0"),
+            F.round(F.aggregate(f, F.lit(0.0), lambda a, v: a + v).cast("double"), 6).alias(
+                "f_sum"
+            ),
+            F.round(F.array_max(f).cast("double"), 6).alias("f_max"),
+        )
+        .orderBy("media_id")
+    )
+
+
 _NEARDUP_BITS = 12
 _NEARDUP_THRESHOLD = 0.4
 
@@ -1357,6 +1385,7 @@ QUERIES = {
     "knn_brute_cosine": q_knn_brute,
     "knn_lsh_bucketed": q_knn_lsh,
     "fingerprint_rolling": q_fingerprint,
+    "media_features": q_media_features,
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf_probe": q_knn_ivf,
     "knn_ivf_trained": q_knn_ivf_trained,

@@ -2,6 +2,7 @@
 
 import os
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -99,7 +100,28 @@ def test_frame_sampling_metadata_only(spark):
         assert (pdf["media_id"] == r["media_id"]).sum() == n
 
 
-def test_resize_is_marked_stub(spark):
-    media = synth_media(spark, n=8)
-    with pytest.raises(Exception, match="NotImplementedError|PIL|decode"):
-        resize_images(media, 64, 64).collect()
+def test_resize_images_real(spark):
+    """Images are real PNGs now: resize decodes, resamples, re-encodes."""
+    from ivfadc_spark.functions.media_codecs import png_decode
+
+    media = synth_media(spark, n=16)
+    n_imgs = media.filter("kind = 'image'").count()
+    rows = resize_images(media, 24, 12).collect()
+    assert len(rows) == n_imgs
+    for r in rows:
+        assert (r["width"], r["height"]) == (24, 12)
+        assert png_decode(bytes(r["payload"])).shape == (12, 24, 3)
+
+
+def test_image_features_are_histograms(spark):
+    """PNG payloads decode for real: features are normalized intensity
+    histograms (sum to 1), not hash fingerprints."""
+    media = synth_media(spark, n=16)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
+    for mid, k in kinds.items():
+        v = np.asarray(feats[mid]["feature"], dtype=np.float64)
+        if k == "image":
+            assert abs(v.sum() - 1.0) < 1e-5  # histogram, normalized
+        elif k == "audio":
+            assert (v >= 0).all() and (v <= 1).all() and v.max() > 0  # envelope
