@@ -138,6 +138,11 @@ def main() -> None:
             "rule's N-vs-4N-executor scaling, without the single-process",
             "allocator/page-fault artifacts thread-mode local[N] adds on top.",
         ]
+    # hand-written context survives regeneration: append BENCH/NARRATIVE.md
+    npath = os.path.join(BENCH, "NARRATIVE.md")
+    if os.path.exists(npath):
+        with open(npath) as f:
+            lines += ["", f.read().rstrip()]
     out = os.path.join(BENCH, "BASELINE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
