@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # default 16, not 32: single-JVM local mode anti-scales past ~16 threads
+    # on this class of host (page-fault/allocator contention inflates system
+    # CPU ~7x at 32-way; measured, see BENCH/BASELINE.md) — 16 is the fastest
+    # measured width for the one-JVM harness. Override via SPARK_GRAFT_CPUS.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     import pandas as pd
@@ -59,6 +63,16 @@ def main() -> None:
     # ---- index build (cold, checkpointed)
     out = tempfile.mkdtemp(prefix="ivfadc_bench_idx_")
     cfg = EngineConfig(block_size=256, salt_df_threshold=100_000, max_salts=16)
+    # warm-up: tiny end-to-end build so python-worker pool spawn and JIT are
+    # excluded from the measured window — per-process costs, not per-byte
+    # costs; identical to the scaling protocol's warm-up (bench_scaling.py)
+    warm_tx = spark.createDataFrame(
+        synth_transcripts_fast_pdf(n_conversations=300, seed=1),
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).repartition(int(cpus))
+    warm_dir = tempfile.mkdtemp(prefix="ivfadc_bench_warm_")
+    build_index(spark, warm_tx, warm_dir, cfg=cfg).blocks.count()
+    shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     seg = build_index(spark, tx, out, cfg=cfg)
     seg.blocks.count()  # materialize
