@@ -53,7 +53,6 @@ def assign_cells(vecs: DataFrame, centroids_pdf: pd.DataFrame, metric: str = "co
     join; /root/reference/Clustering.h:154-170)."""
     spark = vecs.sparkSession
     cent = spark.createDataFrame(centroids_pdf, schema="cell int, b array<double>")
-    sim = F.col("_sim")
     scorer = _cosine("v", "b") if metric == "cosine" else _neg_l2sq("v", "b")
     w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
     return (
@@ -65,7 +64,9 @@ def assign_cells(vecs: DataFrame, centroids_pdf: pd.DataFrame, metric: str = "co
     )
 
 
-def recompute_centroids(assigned: DataFrame, round_decimals: int = 6) -> pd.DataFrame:
+def recompute_centroids(
+    assigned: DataFrame, round_decimals: int = 6
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Member means per (cell, dim) -> driver pandas codebook (tiny: k x dim).
     The A1 sum/count/divide update (/root/reference/Clustering.h:190-215)."""
     pdf = (

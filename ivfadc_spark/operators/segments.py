@@ -9,7 +9,8 @@ docIDs into one global space by positional offset
 Ours: one segment = a parquet dataset directory::
 
     <path>/blocks/      posting blocks, partitioned by term_bucket
-    <path>/doc_map/     (doc_id, conv_id, turn_idx, dl)       [nl analog]
+    <path>/doc_map/     (doc_id, conv_id, turn_idx)           [nl analog]
+    <path>/doc_lens/    (doc_id, dl) doc-length sidecar (combiner builds)
     <path>/dict/        (term, df, cf, idf)                   [voc_sz analog]
     <path>/metrics/     per-term build metrics
     <path>/meta.json    n_docs, avgdl, doc_space, lineage, config
@@ -73,13 +74,22 @@ class Segment:
     @property
     def doc_lengths(self) -> DataFrame:
         """(doc_id, dl) sidecar: the materialized dataset if stage 02 wrote
-        one, else decoded from the sentinel rows."""
+        one, else decoded from the sentinel rows. A segment with NEITHER
+        (df-salted builds: n_shards == 0, no sentinels) falls back to a
+        posting decode — zero-token docs are absent there (they carry no
+        postings), which matches BM25 semantics (dl only ever multiplies a
+        nonzero tf)."""
         p = os.path.join(self.path, "doc_lens")
         if os.path.exists(p):
             return self.spark.read.parquet(p)
-        from ivfadc_spark.operators.postings import decode_doc_stats
+        from ivfadc_spark.operators.postings import decode_blocks, decode_doc_stats
 
-        return decode_doc_stats(self.raw_blocks)
+        if int(self.meta.get("n_shards", 0) or 0) > 0:
+            return decode_doc_stats(self.raw_blocks)
+        # df-salted segment: no doc_lens dataset and no sentinel rows —
+        # derive dl from the postings themselves (each posting carries its
+        # doc's dl; distinct collapses the per-term duplication)
+        return decode_blocks(self.raw_blocks).select("doc_id", "dl").distinct()
 
     @property
     def doc_map(self) -> DataFrame:
@@ -333,6 +343,10 @@ def merge_segments(
             "overwrite" if i == 0 else "append"
         ).partitionBy("term_bucket").parquet(p_blocks)
     ss.doc_map.write.mode("overwrite").parquet(os.path.join(out_path, "doc_map"))
+    # materialize the doc-length sidecar from the inputs' (offset-shifted)
+    # doc_lengths: the merged segment then serves dl regardless of whether
+    # its members carried sentinels, a doc_lens dataset, or neither
+    ss.doc_lengths.write.mode("overwrite").parquet(os.path.join(out_path, "doc_lens"))
     ss.dictionary.write.mode("overwrite").parquet(os.path.join(out_path, "dict"))
     ss.metrics.write.mode("overwrite").parquet(os.path.join(out_path, "metrics"))
     meta = {

@@ -111,53 +111,6 @@ def term_frequencies_mapside(
     return docs.mapInArrow(gen, "doc_id long, term string, tf long, dl long")
 
 
-def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All columns except ``text_col``, plus ``dl`` = non-empty token count.
-
-    One Arrow pass (RE2 split over the contiguous utf8 buffer + a bincount)
-    — the JVM ``size(split(...))`` form of this computation allocates a
-    boxed token array per row and measurably ANTI-scales in a single JVM at
-    high thread counts (allocator/GC contention); this kernel allocates two
-    flat buffers per batch."""
-    import numpy as np
-
-    from ivfadc_spark.config import DEFAULT as _D
-
-    pattern = _D.token_pattern
-    out_fields = [f for f in df.schema.fields if f.name != text_col]
-    schema_str = (
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
-        + ", dl long"
-    )
-
-    def gen(batches):
-        from ivfadc_spark.functions.arrow_pool import use_scalable_pool
-
-        use_scalable_pool()
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            tbl = pa.Table.from_batches([rb])
-            text = pc.fill_null(tbl.column(text_col), "")
-            toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
-            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-            parent = pc.list_parent_indices(toks)
-            flat = pc.list_flatten(toks)
-            keep = pc.not_equal(flat, "")
-            par = parent.filter(keep).to_numpy(zero_copy_only=False)
-            dl = np.bincount(par, minlength=rb.num_rows).astype(np.int64)
-            cols = [tbl.column(f.name).combine_chunks() for f in out_fields]
-            cols.append(pa.array(dl, type=pa.int64()))
-            yield pa.RecordBatch.from_arrays(
-                cols, names=[f.name for f in out_fields] + ["dl"]
-            )
-
-    return df.mapInArrow(gen, schema_str)
-
-
 def doc_lengths(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token count per doc — BM25's doc-norm (A5 analog). No shuffle: a
     per-row array size, not an explode+groupBy."""

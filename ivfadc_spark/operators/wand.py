@@ -204,10 +204,16 @@ def bm25_topk_batch(
     # the shard contract comes STRICTLY from the segment's own build meta:
     # a df-salted segment (n_shards <= 0) splits one doc's postings across
     # DIFFERENT salts per term, which would silently double-count scores here
-    n_shards = int(
-        segment.meta.get("n_shards", segment.meta.get("config", {}).get("doc_shards", 0))
-        or 0
-    )
+    meta = segment.meta
+    if "n_shards" in meta:
+        n_shards = int(meta["n_shards"] or 0)
+        chunk_salted = True  # salt = pid * SALT_CHUNK_SPAN + chunk
+    else:
+        # pre-n_shards doc-sharded segment (format v1): salt IS the shard
+        # (0..doc_shards-1) — salt // SALT_CHUNK_SPAN would collapse every
+        # shard into one straggler task
+        n_shards = int(meta.get("config", {}).get("doc_shards", 0) or 0)
+        chunk_salted = False
     if n_shards <= 0:
         raise ValueError(
             "bm25_topk_batch requires a segment built with uniform doc "
@@ -223,9 +229,12 @@ def bm25_topk_batch(
     from ivfadc_spark.operators.postings import SALT_CHUNK_SPAN
 
     par = spark.sparkContext.defaultParallelism
-    blocks = blocks.withColumn(
-        "shard", (F.col("salt") / F.lit(SALT_CHUNK_SPAN)).cast("int")
-    ).drop("salt")
+    shard_col = (
+        (F.col("salt") / F.lit(SALT_CHUNK_SPAN)).cast("int")
+        if chunk_salted
+        else F.col("salt")
+    )
+    blocks = blocks.withColumn("shard", shard_col).drop("salt")
     cand = blocks.repartitionByRange(min(n_shards, par * 2), "shard")
 
     # key stride = the TOTAL doc id space (zero-token docs included: ids are

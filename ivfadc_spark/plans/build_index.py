@@ -10,8 +10,9 @@ Stages (layout v2 — FUSED: the corpus is tokenized in the map stage and
 flows STRAIGHT into the (term, salt) exchange and the block encoder; there
 is no tf fact-table round-trip and no dictionary pre-pass)::
 
-    00_doc_map   doc_id assignment + per-doc token count       [nl analog]
-                 -> segment/doc_map (doc_id, conv_id, turn_idx, dl)
+    00_doc_map   doc_id assignment                             [nl analog]
+                 -> segment/doc_map (doc_id, conv_id, turn_idx)
+                 (doc lengths live in doc_lens / sentinel rows, not here)
     01_blocks    tokenize -> salt -> exchange -> encode        [idx analog]
                  -> segment/blocks
     02_dict      dictionary DERIVED from block metrics         [voc_sz analog]
@@ -196,6 +197,12 @@ def build_index(
             cs = S.corpus_stats_from_tf(tf_cached)
             extra.update(n_docs=cs["n_docs"], avgdl=cs["avgdl"])
             S.dictionary(tf_cached, cs["n_docs"]).write.mode("overwrite").parquet(p_dict)
+            # materialize the doc-length sidecar while tf is still persisted
+            # (this path emits no sentinel rows; without this, every dl
+            # consumer would pay a posting decode)
+            tf_cached.select("doc_id", "dl").distinct().write.mode("overwrite").parquet(
+                os.path.join(p_seg, "doc_lens")
+            )
             d = spark.read.parquet(p_dict)
             salted = salted_tf(tf_cached, None, d, cfg)
             blocks = build_blocks(salted, cfg, dictionary=d)

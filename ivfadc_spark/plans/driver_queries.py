@@ -169,7 +169,9 @@ def _get_segment(spark, sf_dir, cfg: EngineConfig, doc_filter=None, tag: str = "
     from ivfadc_spark.plans.build_index import build_index
     from ivfadc_spark.sources.transcripts import transcripts_from_documents
 
-    key = (sf_dir, cfg.to_json(), tag)
+    # doc_filter is part of the identity: a reused tag with a different
+    # filter must not hit a segment built over different documents
+    key = (sf_dir, cfg.to_json(), tag, str(doc_filter))
     if key not in _SEGMENT_CACHE:
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
         if doc_filter is not None:
