@@ -117,16 +117,22 @@ def salted_tf(
     )
 
 
-def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz):
+def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz, with_dls=True):
     """Encode postings ALREADY sorted by (code, salt, doc_id) into block
     RecordBatches — the shared tail of both encode paths.
 
-    Blocks tile three whole-column varint streams contiguously, so each
+    Blocks tile whole-column varint streams contiguously, so each
     per-block binary column is a ZERO-COPY Arrow BinaryArray over
     (offsets, stream) — no per-block python bytes objects. Emitted batches
     are chunked so every binary column's int32 offsets stay valid (a
     partition whose concatenated streams exceed 2^31 bytes would otherwise
-    wrap silently — plausible at large-corpus scale)."""
+    wrap silently — plausible at large-corpus scale).
+
+    ``with_dls=False`` (format v3, combiner builds): the per-posting dl
+    stream is NOT written — dl is per-DOC data and already lives once per
+    doc in the sentinel sidecar; repeating it per posting made the dls
+    stream ~1/3 of every block's bytes. min_dl block bounds are still
+    computed (dls is still required as an input)."""
     import pyarrow as pa
 
     from ivfadc_spark.functions.codecs import varint_encode_with_lengths
@@ -158,10 +164,12 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz):
     max_tf = np.maximum.reduceat(tfs, bstart)
     min_dl = np.minimum.reduceat(dls, bstart)
     sum_tf = np.add.reduceat(tfs, bstart)
+    col_names = ("doc_ids", "tfs", "dls") if with_dls else ("doc_ids", "tfs")
+    col_vals = {"doc_ids": deltas, "tfs": tfs.astype(np.uint64), "dls": dls.astype(np.uint64)}
     streams, col_lo, col_hi = {}, {}, {}
     tot_bytes = np.zeros(bstart.size, dtype=np.int64)
-    for name, vals in (("doc_ids", deltas), ("tfs", tfs.astype(np.uint64)), ("dls", dls.astype(np.uint64))):
-        stream, nb = varint_encode_with_lengths(vals)
+    for name in col_names:
+        stream, nb = varint_encode_with_lengths(col_vals[name])
         ends = np.cumsum(nb)
         lo = (ends - nb)[bstart]
         hi = ends[bend - 1]
@@ -175,7 +183,7 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz):
         edges.append(max(j, edges[-1] + 1))
     for a, z in zip(edges[:-1], edges[1:]):
         enc = {}
-        for name in ("doc_ids", "tfs", "dls"):
+        for name in col_names:
             clo, chi = int(col_lo[name][a]), int(col_hi[name][z - 1])
             offsets = np.empty(z - a + 1, dtype=np.int32)
             offsets[:-1] = col_lo[name][a:z] - clo
@@ -185,6 +193,12 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz):
                 z - a,
                 [None, pa.py_buffer(offsets.tobytes()),
                  pa.py_buffer(memoryview(streams[name])[clo:chi])],
+            )
+        if not with_dls:
+            enc["dls"] = pa.Array.from_buffers(
+                pa.binary(), z - a,
+                [None, pa.py_buffer(np.zeros(z - a + 1, dtype=np.int32).tobytes()),
+                 pa.py_buffer(b"")],
             )
         yield pa.RecordBatch.from_arrays(
             [
@@ -324,8 +338,11 @@ def build_blocks_inplace(
             ids_p = doc_ids[row_p]
             dls_p = dl_by_row[row_p]
             salts = np.full(code_p.size, salt_val, dtype=np.int32)
+            # format v3: no per-posting dl stream — the sentinel row above
+            # already carries this chunk's (doc_id -> dl) table once
             yield from _encode_sorted(
-                vocab, code_p, ids_p, tf.astype(np.int64), dls_p, salts, bsz
+                vocab, code_p, ids_p, tf.astype(np.int64), dls_p, salts, bsz,
+                with_dls=False,
             )
 
         for rb in batches:
@@ -458,14 +475,19 @@ def build_blocks(
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Inverse of build_blocks: blocks -> (term, doc_id, tf, dl) rows.
+    """Inverse of the block encoders: blocks -> (term, doc_id, tf, dl) rows.
 
-    Used by the segment merge (decode -> union -> re-encode) and by
-    round-trip tests. Whole-batch vectorized (the wand.py trick): varint
-    streams are self-delimiting, so ALL blocks of a batch decode in three
+    Used by round-trip tests, the conjunctive query path, and the df-salted
+    doc-length fallback. Whole-batch vectorized (the wand.py trick): varint
+    streams are self-delimiting, so ALL blocks of a batch decode in a few
     codec calls; absolute docIDs come from a segmented cumsum reset at
     block starts; the term column expands by repeat on the ARROW array
     (no Python string objects).
+
+    Format v3 blocks carry no per-posting dl stream (dl lives once per doc
+    in the sentinel / doc_lens sidecar): their rows decode with ``dl`` NULL
+    — join :attr:`Segment.doc_lengths` if dl is needed. Mixed batches
+    (a merge of v2 and v3 segments) are handled per block.
     """
     from ivfadc_spark.functions.codecs import varint_decode
 
@@ -486,6 +508,13 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
             if total == 0:
                 continue
 
+            def arr_and_lens(col):
+                a = tbl.column(col).combine_chunks()
+                offs = np.frombuffer(a.buffers()[1], dtype=np.int32)
+                lo = offs[a.offset : a.offset + len(a)].astype(np.int64)
+                hi = offs[a.offset + 1 : a.offset + len(a) + 1].astype(np.int64)
+                return a, hi - lo
+
             def cat(col):
                 # a BinaryArray's data buffer IS the in-order concatenation
                 # of its values — slice it once, zero per-block objects
@@ -497,9 +526,23 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
 
             deltas = varint_decode(cat("doc_ids"), total).astype(np.int64)
             tfs = varint_decode(cat("tfs"), total).astype(np.int64)
-            dls = varint_decode(cat("dls"), total).astype(np.int64)
-            c = np.cumsum(deltas)
+            dls_arr, dls_lens = arr_and_lens("dls")
+            has_dl = dls_lens > 0
             bstarts = np.cumsum(counts) - counts
+            if has_dl.all():
+                dl_col = pa.array(varint_decode(cat("dls"), total).astype(np.int64))
+            elif not has_dl.any():
+                dl_col = pa.nulls(total, pa.int64())
+            else:  # mixed v2/v3 batch: decode only blocks that carry dls
+                n_with = int(counts[has_dl].sum())
+                vals = varint_decode(cat("dls"), n_with).astype(np.int64)
+                out = np.zeros(total, dtype=np.int64)
+                mask = np.zeros(total, dtype=bool)
+                idx = _ranges(bstarts[has_dl], counts[has_dl])
+                out[idx] = vals
+                mask[idx] = True
+                dl_col = pa.array(out, type=pa.int64(), mask=~mask)
+            c = np.cumsum(deltas)
             base = np.where(bstarts > 0, c[bstarts - 1], 0)
             ids = c - np.repeat(base, counts)
             term_rep = tbl.column("term").combine_chunks().take(
@@ -510,7 +553,7 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
                     term_rep,
                     pa.array(ids, type=pa.int64()),
                     pa.array(tfs),
-                    pa.array(dls),
+                    dl_col,
                 ],
                 names=["term", "doc_id", "tf", "dl"],
             )

@@ -123,6 +123,31 @@ class Segment:
             self._dict_pdf = self.dictionary.toPandas()
         return self._dict_pdf
 
+    @property
+    def dl_broadcast(self):
+        """Broadcast dense doc_id -> dl int32 array (doc_space-sized) — the
+        resident per-doc-norm table the reference loads at index open
+        (/root/reference/SearchEngine.cpp:359-391). Since format v3 drops
+        the per-posting dl stream, the low-latency indexed scan gathers dl
+        from this lookup. Memory bound: 4 bytes/doc per executor — fine to
+        billions of docs; beyond that use the doc-sharded batch path, whose
+        dl travels shard-aligned in the sentinel sidecar instead."""
+        if not hasattr(self, "_dl_bc"):
+            self._dl_bc = self.spark.sparkContext.broadcast(_dl_array(self))
+        return self._dl_bc
+
+
+def _dl_array(seg) -> "np.ndarray":
+    """Dense dl lookup for a Segment/SegmentSet via one Arrow collect."""
+    import numpy as np
+
+    tbl = seg.doc_lengths.toArrow()
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = np.zeros(int(seg.doc_space), dtype=np.int32)
+    arr[ids] = dls  # zero-token / postings-absent docs stay dl=0
+    return arr
+
 
 class SegmentSet:
     """N segments queried as ONE corpus — no compaction required (U1 at
@@ -252,6 +277,12 @@ class SegmentSet:
         if not hasattr(self, "_dict_pdf"):
             self._dict_pdf = self.dictionary.toPandas()
         return self._dict_pdf
+
+    @property
+    def dl_broadcast(self):
+        if not hasattr(self, "_dl_bc"):
+            self._dl_bc = self.spark.sparkContext.broadcast(_dl_array(self))
+        return self._dl_bc
 
 
 def write_segment(

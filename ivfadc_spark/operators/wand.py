@@ -50,24 +50,26 @@ RESULT_SCHEMA = "query_id long, rank int, doc_id long, score double"
 _COLLECT_PRUNE_MAX_ROWS = 20_000
 
 
-def _decode_block_rows(rows: pd.DataFrame):
-    """Decode ALL given block rows in three codec calls (varint streams are
+def _decode_block_rows(rows: pd.DataFrame, dl_arr: np.ndarray):
+    """Decode ALL given block rows in two codec calls (varint streams are
     self-delimiting and concatenable); absolute docIDs via segmented cumsum
-    reset at block starts. Returns (ids, tf, dl) float64/int64 arrays."""
+    reset at block starts. dl is GATHERED from the resident per-doc lookup
+    (format v3 blocks carry no dl stream; for v2 blocks the dead stream is
+    simply never read). Returns (ids, tf, dl) arrays."""
     counts = rows["n"].to_numpy(np.int64)
     total = int(counts.sum())
     deltas = varint_decode(b"".join(bytes(x) for x in rows["doc_ids"]), total).astype(np.int64)
     tf = varint_decode(b"".join(bytes(x) for x in rows["tfs"]), total).astype(np.float64)
-    dl = varint_decode(b"".join(bytes(x) for x in rows["dls"]), total).astype(np.float64)
     c = np.cumsum(deltas)
     bstarts = np.cumsum(counts) - counts
     base = np.where(bstarts > 0, c[bstarts - 1], 0)
     ids = c - np.repeat(base, counts)
+    dl = dl_arr[ids].astype(np.float64)
     return ids, tf, dl
 
 
 def _scan_one_query(
-    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float
+    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float, dl_arr: np.ndarray
 ) -> pd.DataFrame:
     """Exact MaxScore scan over one query's candidate blocks (numpy).
 
@@ -103,7 +105,7 @@ def _scan_one_query(
         idf = float(rows["idf"].iloc[0])
         R = float(suffix[j])
         if not restricted:
-            ids, tf, dl = _decode_block_rows(rows)
+            ids, tf, dl = _decode_block_rows(rows, dl_arr)
             if ids.size:
                 all_ids = np.concatenate([acc_ids, ids])
                 all_sc = np.concatenate([acc_sc, idf * _impact(tf, dl)])
@@ -125,7 +127,7 @@ def _scan_one_query(
                 rows["first_doc"].to_numpy(np.int64) <= hi
             )
             if live.any():
-                ids, tf, dl = _decode_block_rows(rows.loc[live])
+                ids, tf, dl = _decode_block_rows(rows.loc[live], dl_arr)
                 pos = np.searchsorted(acc_ids, ids)
                 pos_ok = pos < acc_ids.size
                 hit = np.zeros(ids.size, dtype=bool)
@@ -198,9 +200,13 @@ def bm25_topk_batch(
     bq = spark.sparkContext.broadcast(qt_pdf)
     terms = sorted(set(qt_pdf["term"]))
 
-    blocks = segment.blocks.filter(F.col("term").isin(terms)).select(
-        "term", "salt", "block_id", "n", "doc_ids", "tfs", "dls"
-    )
+    # sentinel doc-stats rows (term NULL, block_id -1) ride along: they carry
+    # each chunk's (doc_id -> dl) table, which is where the scan takes dl
+    # from since format v3 dropped the per-posting dl stream. dl thus ships
+    # ONCE PER SHARD (bytes ~ docs/shard), not once per posting.
+    blocks = segment.raw_blocks.filter(
+        F.col("term").isNull() | F.col("term").isin(terms)
+    ).select("term", "salt", "block_id", "n", "doc_ids", "tfs", "dls")
     # the shard contract comes STRICTLY from the segment's own build meta:
     # a df-salted segment (n_shards <= 0) splits one doc's postings across
     # DIFFERENT salts per term, which would silently double-count scores here
@@ -267,9 +273,15 @@ def bm25_topk_batch(
             return
         whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         qp = bq.value
-        for _shard, sg in whole.groupby("shard", sort=False):
+        is_sent = whole["block_id"].to_numpy() == -1
+        sent_by_shard = (
+            dict(iter(whole[is_sent].groupby("shard", sort=False)))
+            if is_sent.any()
+            else {}
+        )
+        for _shard, sg in whole[~is_sent].groupby("shard", sort=False):
             # whole-shard vectorized decode: varint streams are
-            # self-delimiting, so ALL blocks decode in three codec calls
+            # self-delimiting, so ALL blocks decode in two codec calls
             # (per-block calls cost ~0.3ms each and dominate otherwise);
             # docIDs then need a segmented cumsum reset at block starts.
             t_start: dict = {}
@@ -291,14 +303,44 @@ def bm25_topk_batch(
             counts = np.asarray(counts_l, dtype=np.int64)
             deltas = varint_decode(b"".join(id_bufs), pos).astype(np.int64)
             tf = varint_decode(b"".join(tf_bufs), pos).astype(np.float64)
-            dl = varint_decode(b"".join(dl_bufs), pos).astype(np.float64)
+            dl_stream = b"".join(dl_bufs)
+            stream_dl = len(dl_stream) > 0
             # segmented cumsum: absolute ids = cumsum(deltas) minus the
             # running total at each block's start
             c = np.cumsum(deltas)
             bstarts = np.cumsum(counts) - counts
             base = np.where(bstarts > 0, c[bstarts - 1], 0)
             all_ids = c - np.repeat(base, counts)
-            all_imp = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            if stream_dl:  # format v2 blocks: per-posting dl stream
+                dl = varint_decode(dl_stream, pos).astype(np.float64)
+                denom = k1 * (1.0 - b + b * dl / avgdl)
+            else:
+                # format v3: per-doc norm from this shard's SENTINEL rows —
+                # each chunk's (doc_id -> dl) table, decoded once per shard
+                sent = sent_by_shard.get(_shard)
+                if sent is None or not len(sent):
+                    raise ValueError(
+                        "bm25_topk_batch: shard has dl-free (v3) blocks but "
+                        "no sentinel doc-stats rows — segment is corrupt or "
+                        "was filtered without term IS NULL"
+                    )
+                s_counts = sent["n"].to_numpy(np.int64)
+                s_tot = int(s_counts.sum())
+                s_deltas = varint_decode(
+                    b"".join(bytes(x) for x in sent["doc_ids"]), s_tot
+                ).astype(np.int64)
+                s_dl = varint_decode(
+                    b"".join(bytes(x) for x in sent["dls"]), s_tot
+                ).astype(np.float64)
+                sc = np.cumsum(s_deltas)
+                s_starts = np.cumsum(s_counts) - s_counts
+                s_base = np.where(s_starts > 0, sc[s_starts - 1], 0)
+                s_ids = sc - np.repeat(s_base, s_counts)
+                lo_id = int(s_ids.min())
+                norm = np.empty(int(s_ids.max()) - lo_id + 1, dtype=np.float64)
+                norm[s_ids - lo_id] = k1 * (1.0 - b + b * s_dl / avgdl)
+                denom = norm[all_ids - lo_id]
+            all_imp = (tf * (k1 + 1.0)) / (tf + denom)
             # multi-query vectorized TAAT: flatten ALL (query, term) pairs
             # of a chunk into one keyed accumulation (key = qid*N + doc),
             # via a vectorized multi-range gather — no per-query and no
@@ -449,13 +491,15 @@ def bm25_topk_indexed(
     # partition holds ~n_queries/par query working sets) before grouping.
     par = spark.sparkContext.defaultParallelism
     cand = cand.repartition(par, "query_id")
+    bdl = segment.dl_broadcast  # resident per-doc dl (v3: blocks carry no dl)
 
     def scan(batches):
         pdfs = [pdf for pdf in batches if len(pdf)]
         if not pdfs:
             return
         whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        dl_arr = bdl.value
         for _, g in whole.groupby("query_id", sort=False):
-            yield _scan_one_query(g, k, k1, b, avgdl)
+            yield _scan_one_query(g, k, k1, b, avgdl, dl_arr)
 
     return cand.mapInPandas(scan, RESULT_SCHEMA)

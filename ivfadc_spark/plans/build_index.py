@@ -289,7 +289,10 @@ def build_index(
             "created_at": time.time(),
             "lineage": lineage or {},
             "config": json.loads(cfg.to_json()),
-            "format_version": 2,
+            # v3 (combiner): posting blocks carry NO per-posting dl stream —
+            # dl lives once per doc in the sentinel/doc_lens sidecar.
+            # v2 (df-salted): dls still encoded per posting (no sentinels).
+            "format_version": 3 if cfg.doc_shards > 0 else 2,
         }
         with open(os.path.join(p_seg, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)

@@ -50,10 +50,12 @@ def _queries_df(spark):
 
 
 def _df_path_topk(spark, seg, k=10):
-    """Reference result from the pure-DataFrame path over decoded postings."""
+    """Reference result from the pure-DataFrame path over decoded postings.
+    dl comes from the segment's doc-length sidecar (format v3 posting
+    blocks carry no per-posting dl stream)."""
     dec = decode_blocks(seg.blocks)
     tf = dec.select("doc_id", "term", "tf")
-    dl = dec.select("doc_id", "dl").distinct()
+    dl = seg.doc_lengths
     return (
         bm25_topk(_queries_df(spark), tf, seg.dictionary, dl, seg.meta["avgdl"], k=k, cfg=CFG)
         .orderBy("query_id", "rank")
@@ -112,9 +114,15 @@ def test_salting_applied_and_equivalent(spark, corpus):
     d = S.dictionary(tf, cs["n_docs"])
     no_salt = EngineConfig(block_size=16, salt_df_threshold=10**9)
     blocks2 = build_blocks(salted_tf(tf, dl, d, no_salt), no_salt)
-    a = decode_blocks(seg.blocks).orderBy("term", "doc_id").toPandas()
-    b = decode_blocks(blocks2).orderBy("term", "doc_id").toPandas()
+    # postings identical; dl compared via the sidecar (combiner blocks are
+    # v3 = no per-posting dl stream, build_blocks keeps the v2 stream)
+    cols = ["term", "doc_id", "tf"]
+    a = decode_blocks(seg.blocks).select(*cols).orderBy(*cols).toPandas()
+    b = decode_blocks(blocks2).select(*cols).orderBy(*cols).toPandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    side = seg.doc_lengths.orderBy("doc_id").toPandas()
+    want_dl = dl.orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(side.reset_index(drop=True), want_dl.reset_index(drop=True))
 
 
 def test_wand_rank_identical_to_dataframe_path(spark, corpus):
