@@ -206,7 +206,10 @@ def bm25_topk_batch(
     # ONCE PER SHARD (bytes ~ docs/shard), not once per posting.
     blocks = segment.raw_blocks.filter(
         F.col("term").isNull() | F.col("term").isin(terms)
-    ).select("term", "salt", "block_id", "n", "doc_ids", "tfs", "dls")
+    ).select(
+        "term", "salt", "block_id", "n", "doc_ids", "tfs", "dls",
+        "max_tf", "min_dl",
+    )
     # the shard contract comes STRICTLY from the segment's own build meta:
     # a df-salted segment (n_shards <= 0) splits one doc's postings across
     # DIFFERENT salts per term, which would silently double-count scores here
@@ -232,7 +235,7 @@ def bm25_topk_batch(
     # range-partition on shard: hash repartition collides shard ids into
     # uneven tasks (~1/e of partitions empty, stragglers with 2-3 shards);
     # contiguous ranges give one-ish shard per task.
-    from ivfadc_spark.operators.postings import SALT_CHUNK_SPAN
+    from ivfadc_spark.operators.postings import SALT_CHUNK_SPAN, _ranges
 
     par = spark.sparkContext.defaultParallelism
     shard_col = (
@@ -286,6 +289,7 @@ def bm25_topk_batch(
             # docIDs then need a segmented cumsum reset at block starts.
             t_start: dict = {}
             t_len: dict = {}
+            t_maximp: dict = {}
             id_bufs, tf_bufs, dl_bufs, counts_l = [], [], [], []
             pos = 0
             for term, tg in sg.groupby("term", sort=False):
@@ -298,6 +302,13 @@ def bm25_topk_batch(
                 t_start[term] = pos
                 t_len[term] = tl
                 pos += tl
+                # per-term impact bound from the avgdl-free block stats —
+                # feeds the MaxScore restriction below
+                mt = tg["max_tf"].to_numpy(np.float64)
+                md = tg["min_dl"].to_numpy(np.float64)
+                t_maximp[term] = float(
+                    ((mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b + b * md / avgdl))).max()
+                )
             if pos == 0:
                 continue
             counts = np.asarray(counts_l, dtype=np.int64)
@@ -341,25 +352,49 @@ def bm25_topk_batch(
                 norm[s_ids - lo_id] = k1 * (1.0 - b + b * s_dl / avgdl)
                 denom = norm[all_ids - lo_id]
             all_imp = (tf * (k1 + 1.0)) / (tf + denom)
-            # multi-query vectorized TAAT: flatten ALL (query, term) pairs
-            # of a chunk into one keyed accumulation (key = qid*N + doc),
-            # via a vectorized multi-range gather — no per-query and no
-            # per-pair Python/numpy calls (their fixed cost dominates
-            # otherwise). N stride: doc_id < n_docs; qid*N stays < 2^63
-            # for any realistic batch.
+            # multi-query vectorized MaxScore TAAT: flatten the (query, term)
+            # pairs of a chunk into keyed accumulations (key = qid*N + doc,
+            # so one merge serves every query at once), processed in ROUNDS
+            # of descending per-query upper bound. After each round a query
+            # whose remaining-terms bound R falls below its current k-th
+            # score θ RESTRICTS: its later (cheaper-bound) terms only
+            # intersect the surviving candidates via searchsorted — the
+            # full gather + sort-merge of their postings is skipped. This
+            # is the same exact-top-k restriction argument as
+            # _scan_one_query, vectorized across the whole query chunk.
+            # N stride: doc_id < n_docs; qid*N stays < 2^63 for any
+            # realistic batch.
             qt = qp[qp["term"].isin(t_start.keys())]
             if qt.empty:
                 continue
-            qt = qt.sort_values("query_id", kind="mergesort")
+            ub_col = (
+                qt["idf"].to_numpy(np.float64)
+                * qt["term"].map(t_maximp).to_numpy(np.float64)
+            )
+            qt = qt.assign(_ub=ub_col)
+            # per-query descending-ub order (ties by term: deterministic);
+            # mergesort keeps it stable
+            qt = qt.sort_values(
+                ["query_id", "_ub", "term"], ascending=[True, False, True],
+                kind="mergesort",
+            )
             qt_ids = qt["query_id"].to_numpy(np.int64)
             qt_idf = qt["idf"].to_numpy(np.float64)
             starts_j = qt["term"].map(t_start).to_numpy(np.int64)
             lens_j = qt["term"].map(t_len).to_numpy(np.int64)
+            ubs_j = qt["_ub"].to_numpy(np.float64)
             csum = np.cumsum(lens_j)
             # chunk on query boundaries; cache-resident chunks: big chunks saturate
             # memory bandwidth when every core runs this loop (measured 3x wall
             # regression at 2M elements x 32 workers)
             qb = np.r_[np.flatnonzero(qt_ids[1:] != qt_ids[:-1]) + 1, qt_ids.size]
+            q_first = np.r_[0, qb[:-1]]
+            q_sizes = np.diff(np.r_[0, qb])
+            # term rank within its query (= round index) and the ub mass of
+            # the query's LATER rounds (the MaxScore remaining bound R)
+            round_j = np.arange(qt_ids.size) - np.repeat(q_first, q_sizes)
+            cs_ub = np.cumsum(ubs_j)
+            R_after = np.repeat(cs_ub[qb - 1], q_sizes) - cs_ub
             edges, base = [0], 0
             while edges[-1] < qt_ids.size:
                 j = int(np.searchsorted(csum[qb - 1], base + chunk_target))
@@ -370,24 +405,78 @@ def bm25_topk_batch(
                 base = csum[nxt - 1]
             out_q, out_d, out_s = [], [], []
             for lo, hi in zip(edges[:-1], edges[1:]):
-                ln = lens_j[lo:hi]
-                tot = int(ln.sum())
-                if tot == 0:
+                if int(lens_j[lo:hi].sum()) == 0:
                     continue
-                offs = np.cumsum(ln) - ln
-                rel = np.arange(tot, dtype=np.int64) - np.repeat(offs, ln)
-                idx = rel + np.repeat(starts_j[lo:hi], ln)
-                keys = np.repeat(qt_ids[lo:hi], ln) * n_docs_total + all_ids[idx]
-                vals = np.repeat(qt_idf[lo:hi], ln) * all_imp[idx]
-                uk, inv = np.unique(keys, return_inverse=True)
-                acc = np.bincount(inv, weights=vals)
-                qids = (uk // n_docs_total).astype(np.int64)
-                docs = (uk % n_docs_total).astype(np.int64)
-                # uk is key-sorted -> (qid asc, doc asc): 2-key stable topk
-                keep, _rank = _topk_per_query(qids, docs, acc, k, doc_sorted=True)
+                p_q = qt_ids[lo:hi]
+                p_idf = qt_idf[lo:hi]
+                p_start = starts_j[lo:hi]
+                p_len = lens_j[lo:hi]
+                p_round = round_j[lo:hi]
+                p_R = R_after[lo:hi]
+                uq = np.unique(p_q)
+                qloc = np.searchsorted(uq, p_q)
+                theta = np.full(uq.size, -np.inf)
+                Rnow = np.zeros(uq.size)
+                restricted = np.zeros(uq.size, dtype=bool)
+                acc_keys = np.empty(0, dtype=np.int64)
+                acc_sc = np.empty(0, dtype=np.float64)
+                for r in range(int(p_round.max()) + 1):
+                    sel = p_round == r
+                    Rnow[qloc[sel]] = p_R[sel]
+                    res = sel & restricted[qloc]
+                    unres = sel & ~restricted[qloc]
+                    if res.any() and acc_keys.size:
+                        ln = p_len[res]
+                        idx = _ranges(p_start[res], ln)
+                        keys = np.repeat(p_q[res], ln) * n_docs_total + all_ids[idx]
+                        vals = np.repeat(p_idf[res], ln) * all_imp[idx]
+                        pos = np.searchsorted(acc_keys, keys)
+                        ok = pos < acc_keys.size
+                        hit = np.zeros(keys.size, dtype=bool)
+                        hit[ok] = acc_keys[pos[ok]] == keys[ok]
+                        # one posting per (q, doc, term) and one term per
+                        # query per round -> hit positions are unique
+                        acc_sc[pos[hit]] += vals[hit]
+                    if unres.any():
+                        ln = p_len[unres]
+                        idx = _ranges(p_start[unres], ln)
+                        keys = np.concatenate([
+                            acc_keys,
+                            np.repeat(p_q[unres], ln) * n_docs_total + all_ids[idx],
+                        ])
+                        vals = np.concatenate([
+                            acc_sc,
+                            np.repeat(p_idf[unres], ln) * all_imp[idx],
+                        ])
+                        acc_keys, inv = np.unique(keys, return_inverse=True)
+                        acc_sc = np.bincount(inv, weights=vals)
+                    if acc_keys.size == 0:
+                        continue
+                    # θ per query (k-th best where ≥ k candidates), then
+                    # prune candidates that cannot reach θ with the
+                    # remaining bound; restrict queries with R < θ
+                    aq = acc_keys // n_docs_total
+                    order = np.lexsort((-acc_sc, aq))
+                    oq = aq[order]
+                    seg_starts = np.flatnonzero(np.r_[True, oq[1:] != oq[:-1]])
+                    seg_counts = np.diff(np.r_[seg_starts, oq.size])
+                    within = np.arange(oq.size) - np.repeat(seg_starts, seg_counts)
+                    kth_rows = order[within == k - 1]
+                    theta[np.searchsorted(uq, aq[kth_rows])] = acc_sc[kth_rows]
+                    aql = np.searchsorted(uq, aq)
+                    keep = acc_sc + Rnow[aql] >= theta[aql]
+                    if not keep.all():
+                        acc_keys, acc_sc = acc_keys[keep], acc_sc[keep]
+                    restricted = theta > Rnow
+                if acc_keys.size == 0:
+                    continue
+                qids = (acc_keys // n_docs_total).astype(np.int64)
+                docs = (acc_keys % n_docs_total).astype(np.int64)
+                # acc_keys is key-sorted -> (qid asc, doc asc): 2-key stable topk
+                keep, _rank = _topk_per_query(qids, docs, acc_sc, k, doc_sorted=True)
                 out_q.append(qids[keep])
                 out_d.append(docs[keep])
-                out_s.append(acc[keep])
+                out_s.append(acc_sc[keep])
             if out_q:
                 yield pd.DataFrame(
                     {
