@@ -243,7 +243,10 @@ def bm25_topk_batch(
         if chunk_salted
         else F.col("salt")
     )
-    blocks = blocks.withColumn("shard", shard_col).drop("salt")
+    # salt is KEPT: within a term, chunk salts are consecutive doc ranges of
+    # the source partition, so (salt, block_id) order makes the concatenated
+    # term slice globally doc-sorted — the restricted path binary-searches it
+    blocks = blocks.withColumn("shard", shard_col)
     cand = blocks.repartitionByRange(min(n_shards, par * 2), "shard")
 
     # key stride = the TOTAL doc id space (zero-token docs included: ids are
@@ -293,7 +296,7 @@ def bm25_topk_batch(
             id_bufs, tf_bufs, dl_bufs, counts_l = [], [], [], []
             pos = 0
             for term, tg in sg.groupby("term", sort=False):
-                tg = tg.sort_values("block_id", kind="mergesort")
+                tg = tg.sort_values(["salt", "block_id"], kind="mergesort")
                 id_bufs.extend(bytes(x) for x in tg["doc_ids"])
                 tf_bufs.extend(bytes(x) for x in tg["tfs"])
                 dl_bufs.extend(bytes(x) for x in tg["dls"])
@@ -352,18 +355,30 @@ def bm25_topk_batch(
                 norm[s_ids - lo_id] = k1 * (1.0 - b + b * s_dl / avgdl)
                 denom = norm[all_ids - lo_id]
             all_imp = (tf * (k1 + 1.0)) / (tf + denom)
-            # multi-query vectorized MaxScore TAAT: flatten the (query, term)
-            # pairs of a chunk into keyed accumulations (key = qid*N + doc,
-            # so one merge serves every query at once), processed in ROUNDS
-            # of descending per-query upper bound. After each round a query
-            # whose remaining-terms bound R falls below its current k-th
-            # score θ RESTRICTS: its later (cheaper-bound) terms only
-            # intersect the surviving candidates via searchsorted — the
-            # full gather + sort-merge of their postings is skipped. This
-            # is the same exact-top-k restriction argument as
-            # _scan_one_query, vectorized across the whole query chunk.
-            # N stride: doc_id < n_docs; qid*N stays < 2^63 for any
-            # realistic batch.
+            # multi-query vectorized MaxScore TAAT, processed in ROUNDS of
+            # descending per-query term upper bound (ub = idf * max block
+            # impact). Keys pack (chunk-local query ordinal << SHIFT | doc),
+            # so one sorted accumulator serves every query at once and the
+            # query part is a SHIFT instead of an int64 division.
+            #
+            # Per round, three query states:
+            #   ACTIVE    — postings union-merged into the accumulator
+            #               (np.unique + bincount, the flat-TAAT kernel)
+            #   RESTRICTED— the query already holds k candidates whose k-th
+            #               score θ exceeds the remaining-terms bound R: no
+            #               unseen doc can reach its top-k, so its remaining
+            #               (low-ub = LONG posting list) terms never enter a
+            #               union again — each is scored by binary-searching
+            #               the query's frozen candidate docs into the term's
+            #               doc-sorted slice, O(C log P) instead of O(P)
+            #   EXHAUSTED — no terms left; candidates leave the accumulator
+            #               so later unions stay small
+            # Restriction is detected WITHOUT sorting: θ > R  <=>  at least
+            # k accumulated scores strictly exceed R (one bincount); the
+            # exact k-th is computed only at freeze time per newly-restricted
+            # query (np.partition of its segment), where candidates that
+            # cannot reach θ with bound R are also dropped — the same exact
+            # top-k argument as _scan_one_query, vectorized across the chunk.
             qt = qp[qp["term"].isin(t_start.keys())]
             if qt.empty:
                 continue
@@ -403,6 +418,8 @@ def bm25_topk_batch(
                     nxt = int(qb[np.searchsorted(qb, edges[-1], side="right")])
                 edges.append(nxt)
                 base = csum[nxt - 1]
+            shift = int(n_docs_total - 1).bit_length()
+            mask = (1 << shift) - 1
             out_q, out_d, out_s = [], [], []
             for lo, hi in zip(edges[:-1], edges[1:]):
                 if int(lens_j[lo:hi].sum()) == 0:
@@ -413,70 +430,125 @@ def bm25_topk_batch(
                 p_len = lens_j[lo:hi]
                 p_round = round_j[lo:hi]
                 p_R = R_after[lo:hi]
-                uq = np.unique(p_q)
-                qloc = np.searchsorted(uq, p_q)
-                theta = np.full(uq.size, -np.inf)
-                Rnow = np.zeros(uq.size)
+                uq, q_inv = np.unique(p_q, return_inverse=True)
+                q_last = np.zeros(uq.size, dtype=np.int64)
+                np.maximum.at(q_last, q_inv, p_round)
                 restricted = np.zeros(uq.size, dtype=bool)
                 acc_keys = np.empty(0, dtype=np.int64)
                 acc_sc = np.empty(0, dtype=np.float64)
-                for r in range(int(p_round.max()) + 1):
-                    sel = p_round == r
-                    Rnow[qloc[sel]] = p_R[sel]
-                    res = sel & restricted[qloc]
-                    unres = sel & ~restricted[qloc]
-                    if res.any() and acc_keys.size:
-                        ln = p_len[res]
-                        idx = _ranges(p_start[res], ln)
-                        keys = np.repeat(p_q[res], ln) * n_docs_total + all_ids[idx]
-                        vals = np.repeat(p_idf[res], ln) * all_imp[idx]
-                        pos = np.searchsorted(acc_keys, keys)
-                        ok = pos < acc_keys.size
-                        hit = np.zeros(keys.size, dtype=bool)
-                        hit[ok] = acc_keys[pos[ok]] == keys[ok]
-                        # one posting per (q, doc, term) and one term per
-                        # query per round -> hit positions are unique
-                        acc_sc[pos[hit]] += vals[hit]
-                    if unres.any():
+                frozen: dict = {}  # qloc -> [docs_sorted, scores]
+                done: list = []  # exhausted queries' (qloc, doc, score)
+                n_rounds = int(p_round.max()) + 1
+                for r in range(n_rounds):
+                    sel = np.flatnonzero(p_round == r)
+                    res = sel[restricted[q_inv[sel]]]
+                    unres = sel[~restricted[q_inv[sel]]]
+                    for j in res:
+                        ql = q_inv[j]
+                        docs_f, sc_f = frozen[ql]
+                        s0 = p_start[j]
+                        sl = all_ids[s0 : s0 + p_len[j]]
+                        pos = np.searchsorted(sl, docs_f)
+                        ok = pos < sl.size
+                        hit = np.zeros(docs_f.size, dtype=bool)
+                        hit[ok] = sl[pos[ok]] == docs_f[ok]
+                        if hit.any():
+                            sc_f[hit] += p_idf[j] * all_imp[s0 + pos[hit]]
+                        # progressive prune: θ rises as terms land while the
+                        # remaining bound falls — candidates below θ - R out
+                        if docs_f.size > 4 * k:
+                            kth = np.partition(sc_f, sc_f.size - k)[sc_f.size - k]
+                            fk = sc_f + p_R[j] >= kth
+                            if not fk.all():
+                                frozen[ql] = [docs_f[fk], sc_f[fk]]
+                    if unres.size:
                         ln = p_len[unres]
                         idx = _ranges(p_start[unres], ln)
                         keys = np.concatenate([
                             acc_keys,
-                            np.repeat(p_q[unres], ln) * n_docs_total + all_ids[idx],
+                            (q_inv[unres].repeat(ln) << shift) | all_ids[idx],
                         ])
                         vals = np.concatenate([
                             acc_sc,
-                            np.repeat(p_idf[unres], ln) * all_imp[idx],
+                            p_idf[unres].repeat(ln) * all_imp[idx],
                         ])
                         acc_keys, inv = np.unique(keys, return_inverse=True)
                         acc_sc = np.bincount(inv, weights=vals)
-                    if acc_keys.size == 0:
+                    if acc_keys.size == 0 or r == n_rounds - 1:
+                        if r == n_rounds - 1:
+                            break
                         continue
-                    # θ per query (k-th best where ≥ k candidates), then
-                    # prune candidates that cannot reach θ with the
-                    # remaining bound; restrict queries with R < θ
-                    aq = acc_keys // n_docs_total
-                    order = np.lexsort((-acc_sc, aq))
-                    oq = aq[order]
-                    seg_starts = np.flatnonzero(np.r_[True, oq[1:] != oq[:-1]])
-                    seg_counts = np.diff(np.r_[seg_starts, oq.size])
-                    within = np.arange(oq.size) - np.repeat(seg_starts, seg_counts)
-                    kth_rows = order[within == k - 1]
-                    theta[np.searchsorted(uq, aq[kth_rows])] = acc_sc[kth_rows]
-                    aql = np.searchsorted(uq, aq)
-                    keep = acc_sc + Rnow[aql] >= theta[aql]
-                    if not keep.all():
-                        acc_keys, acc_sc = acc_keys[keep], acc_sc[keep]
-                    restricted = theta > Rnow
-                if acc_keys.size == 0:
+                    aql = acc_keys >> shift
+                    Rnow = np.full(uq.size, np.inf)
+                    Rnow[q_inv[sel]] = p_R[sel]
+                    Rnow[q_last <= r] = 0.0
+                    above = acc_sc > Rnow[aql]
+                    cnt = np.bincount(aql, weights=above, minlength=uq.size)
+                    newly = (cnt >= k) & ~restricted & (q_last > r)
+                    exhaust = (~restricted) & (q_last <= r)
+                    if newly.any() or exhaust.any():
+                        is_new = newly[aql]
+                        is_done = exhaust[aql]
+                        if exhaust.any():
+                            done.append((
+                                aql[is_done],
+                                acc_keys[is_done] & mask,
+                                acc_sc[is_done],
+                            ))
+                        if newly.any():
+                            mv_keys = acc_keys[is_new]
+                            mv_sc = acc_sc[is_new]
+                            mv_q = aql[is_new]
+                            bnd = np.flatnonzero(np.r_[True, mv_q[1:] != mv_q[:-1]])
+                            for s, e in zip(bnd, np.r_[bnd[1:], mv_q.size]):
+                                ql = int(mv_q[s])
+                                seg_sc = mv_sc[s:e]
+                                kth = np.partition(seg_sc, seg_sc.size - k)[
+                                    seg_sc.size - k
+                                ]
+                                fk = seg_sc + Rnow[ql] >= kth
+                                frozen[ql] = [
+                                    (mv_keys[s:e][fk] & mask).astype(np.int64),
+                                    seg_sc[fk].copy(),
+                                ]
+                            restricted |= newly
+                        stay = ~(is_new | is_done)
+                        acc_keys, acc_sc = acc_keys[stay], acc_sc[stay]
+                # emit: per-query THRESHOLD selection (>= k-th score; tie
+                # supersets are fine — merge_topk re-ranks exactly). A
+                # np.partition per query beats a full lexsort here.
+                ql_l, d_l, s_l = [], [], []
+                if acc_keys.size:
+                    ql_l.append(acc_keys >> shift)
+                    d_l.append(acc_keys & mask)
+                    s_l.append(acc_sc)
+                for ql, (docs_f, sc_f) in frozen.items():
+                    ql_l.append(np.full(docs_f.size, ql, dtype=np.int64))
+                    d_l.append(docs_f)
+                    s_l.append(sc_f)
+                for t3 in done:
+                    ql_l.append(t3[0])
+                    d_l.append(t3[1])
+                    s_l.append(t3[2])
+                if not ql_l:
                     continue
-                qids = (acc_keys // n_docs_total).astype(np.int64)
-                docs = (acc_keys % n_docs_total).astype(np.int64)
-                # acc_keys is key-sorted -> (qid asc, doc asc): 2-key stable topk
-                keep, _rank = _topk_per_query(qids, docs, acc_sc, k, doc_sorted=True)
-                out_q.append(qids[keep])
-                out_d.append(docs[keep])
-                out_s.append(acc_sc[keep])
+                eq = np.concatenate(ql_l)
+                ed = np.concatenate(d_l)
+                es = np.concatenate(s_l)
+                order = np.argsort(eq, kind="stable")
+                eq, ed, es = eq[order], ed[order], es[order]
+                bnd = np.flatnonzero(np.r_[True, eq[1:] != eq[:-1]])
+                keep = np.zeros(eq.size, dtype=bool)
+                for s, e in zip(bnd, np.r_[bnd[1:], eq.size]):
+                    seg_sc = es[s:e]
+                    if seg_sc.size <= k:
+                        keep[s:e] = True
+                    else:
+                        kth = np.partition(seg_sc, seg_sc.size - k)[seg_sc.size - k]
+                        keep[s:e] = seg_sc >= kth
+                out_q.append(uq[eq[keep]])
+                out_d.append(ed[keep])
+                out_s.append(es[keep])
             if out_q:
                 yield pd.DataFrame(
                     {
