@@ -898,6 +898,46 @@ def q_knn_ivf(spark, sf_dir):
     )
 
 
+_PQ_DIM = 64
+_PQ_NSQ = 4
+_PQ_KS = 8
+_PQ_ITERS = 2
+
+
+def q_knn_ivf_adc(spark, sf_dir):
+    """Full IVFADC: coarse-assign every embedding (L2), train one k-means
+    codebook per residual subspace (nsq=4 x 16 dims, ks=8, 2 Lloyd cycles —
+    /root/reference/ivfpq_new.cpp:126-205), store each vector as cell +
+    nsq codes, and answer queries by asymmetric distance computation:
+    a per-(query, probed cell) distance table plus nsq broadcast gathers
+    per candidate (/root/reference/SearchEngine.cpp:170-184). Exact over
+    the probed cells; the stored vectors never leave their partitions."""
+    from ivfadc_spark.operators import pq
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    coarse = (
+        e.filter(F.col("vec_id") < _IVF_NCENTROIDS)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("b"))
+        .toPandas()
+    )
+    coarse["b"] = [list(map(float, x)) for x in coarse["b"]]
+    ranked = pq.coarse_assign(e, coarse)
+    res = pq.residuals(ranked.filter(F.col("r") == 1))
+    books = pq.train_pq(res, _PQ_DIM, _PQ_NSQ, _PQ_KS, _PQ_ITERS)
+    codes = pq.encode_pq(res, books, _PQ_DIM)
+    probes = (
+        ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            F.zip_with("v", "b", lambda x, y: x - y).alias("qrr"),
+        )
+    )
+    return pq.adc_topk(probes, codes, books, _PQ_DIM, k=5)
+
+
 # ---------------------------------------------------------------- oracles
 
 
@@ -1327,6 +1367,108 @@ SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
 """
 )
 
+def _duck_diff(a: str, b: str) -> str:
+    return f"list_transform(list_zip({a}, {b}), z -> z[1] - z[2])"
+
+
+def _duck_l2(a: str, b: str) -> str:
+    dd = _duck_diff(a, b)
+    return f"list_dot_product({dd}, {dd})"
+
+
+def _pq_adc_oracle_sql() -> str:
+    """The knn_ivf_adc oracle: the SAME coarse assign -> residual ->
+    per-subspace Lloyd chains -> codes -> ADC table-gather pipeline, with
+    identical seeding, iteration count, rounding and tie-breaks."""
+    m = _PQ_DIM // _PQ_NSQ
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cc AS (SELECT vec_id::INT AS cell, v AS b FROM e WHERE vec_id < {_IVF_NCENTROIDS})",
+        f"car AS (SELECT vec_id, v, cell, b FROM (\n"
+        f"  SELECT e.vec_id, e.v, c.cell, c.b,\n"
+        f"         row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"{_duck_l2('e.v', 'c.b')} ASC, c.cell) AS r FROM e, cc c) WHERE r = 1)",
+        f"carp AS (SELECT vec_id, v, cell, b, r FROM (\n"
+        f"  SELECT e.vec_id, e.v, c.cell, c.b,\n"
+        f"         row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"{_duck_l2('e.v', 'c.b')} ASC, c.cell) AS r FROM e, cc c) WHERE r <= {_IVF_NPROBE})",
+        f"res AS (SELECT vec_id, cell, {_duck_diff('v', 'b')} AS rr FROM car)",
+        f"sdims AS (SELECT unnest(generate_series(1, {m})) AS gs)",
+    ]
+    for s in range(_PQ_NSQ):
+        lo = s * m
+        parts.append(
+            f"rs{s} AS (SELECT vec_id, rr[{lo + 1}:{lo + m}] AS v FROM res)"
+        )
+        parts.append(
+            f"s{s}c0 AS (SELECT vec_id::INT AS cell, v AS b FROM rs{s} "
+            f"WHERE vec_id < {_PQ_KS})"
+        )
+        for i in range(1, _PQ_ITERS + 1):
+            parts.append(
+                f"s{s}a{i} AS (SELECT vec_id, v, cell FROM (\n"
+                f"  SELECT r.vec_id, r.v, c.cell,\n"
+                f"         row_number() OVER (PARTITION BY r.vec_id ORDER BY "
+                f"{_duck_l2('r.v', 'c.b')} ASC, c.cell) AS rk\n"
+                f"  FROM rs{s} r, s{s}c{i - 1} c) WHERE rk = 1)"
+            )
+            parts.append(
+                f"s{s}m{i} AS (SELECT cell, gs - 1 AS dim, "
+                f"round(avg(v[gs::INT]), 6) AS mval "
+                f"FROM s{s}a{i} CROSS JOIN sdims GROUP BY cell, gs)"
+            )
+            parts.append(
+                f"s{s}c{i} AS (SELECT cell, list(mval ORDER BY dim) AS b "
+                f"FROM s{s}m{i} GROUP BY cell)"
+            )
+        parts.append(
+            f"code{s} AS (SELECT vec_id, cell AS code_{s} FROM (\n"
+            f"  SELECT r.vec_id, c.cell,\n"
+            f"         row_number() OVER (PARTITION BY r.vec_id ORDER BY "
+            f"{_duck_l2('r.v', 'c.b')} ASC, c.cell) AS rk\n"
+            f"  FROM rs{s} r, s{s}c{_PQ_ITERS} c) WHERE rk = 1)"
+        )
+    parts.append(
+        f"probes AS (SELECT vec_id AS query_id, cell, {_duck_diff('v', 'b')} AS qrr "
+        f"FROM carp WHERE vec_id % 100 = 7)"
+    )
+    for s in range(_PQ_NSQ):
+        lo = s * m
+        parts.append(
+            f"dt{s} AS (SELECT query_id, probes.cell AS cell, c.cell AS code_{s}, "
+            f"{_duck_l2(f'qrr[{lo + 1}:{lo + m}]', 'c.b')} AS d{s} "
+            f"FROM probes, s{s}c{_PQ_ITERS} c)"
+        )
+    code_joins = " ".join(f"JOIN code{s} USING (vec_id)" for s in range(_PQ_NSQ))
+    code_cols = ", ".join(f"code_{s}" for s in range(_PQ_NSQ))
+    parts.append(
+        f"cand AS (SELECT res.vec_id AS cand_id, res.cell, {code_cols} "
+        f"FROM res {code_joins})"
+    )
+    dt_joins = " ".join(
+        f"JOIN dt{s} ON (dt{s}.query_id = p.query_id AND dt{s}.cell = p.cell "
+        f"AND dt{s}.code_{s} = cand.code_{s})"
+        for s in range(_PQ_NSQ)
+    )
+    adc_sum = " + ".join(f"dt{s}.d{s}" for s in range(_PQ_NSQ))
+    parts.append(
+        f"scored AS (SELECT p.query_id, cand.cand_id, round({adc_sum}, 6) AS adc "
+        f"FROM probes p JOIN cand ON (cand.cell = p.cell AND "
+        f"cand.cand_id <> p.query_id) {dt_joins})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT query_id, rank::INT AS rank, cand_id, adc FROM (
+  SELECT query_id, cand_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    )
+
+
+ORACLES["knn_ivf_adc"] = _pq_adc_oracle_sql()
+
 ORACLES["bm25_topk_batch"] = _BM25_TOPK_SQL.format(values=_values_sql())
 ORACLES["bm25_conjunctive_indexed"] = ORACLES["bm25_topk_conjunctive"]
 # federation answers against the segment UNION; the truth is simply BM25
@@ -1391,6 +1533,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf_probe": q_knn_ivf,
     "knn_ivf_trained": q_knn_ivf_trained,
+    "knn_ivf_adc": q_knn_ivf_adc,
     "kmeans_recompute": q_kmeans_recompute,
     "kmeans_train": q_kmeans_train,
 }

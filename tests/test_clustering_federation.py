@@ -224,3 +224,68 @@ def test_phrase_topk_matches_bruteforce(spark, tmp_path):
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["n_occ"]) == list(want["n_occ"])
     assert len(docs) == len(texts)
+
+
+def test_pq_adc_equals_reconstruction(spark):
+    """ADC's table-gather sum must equal the exact L2 distance between the
+    query residual and the candidate's RECONSTRUCTED residual (concatenated
+    sub-centroids) — the identity IVFADC's decomposition rests on
+    (/root/reference/SearchEngine.cpp:170-184)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.operators import pq
+
+    rng = np.random.default_rng(3)
+    dim, nsq, ks = 16, 4, 4
+    vecs_np = rng.normal(size=(120, dim)).round(3)
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(120), "v": [list(map(float, r)) for r in vecs_np]}),
+        schema="vec_id long, v array<double>",
+    )
+    coarse = pd.DataFrame(
+        {"cell": np.arange(4, dtype=np.int32), "b": [list(map(float, r)) for r in vecs_np[:4]]}
+    )
+    ranked = pq.coarse_assign(e, coarse)
+    res = pq.residuals(ranked.filter(F.col("r") == 1))
+    books = pq.train_pq(res, dim, nsq, ks, iters=2)
+    codes = pq.encode_pq(res, books, dim)
+    probes = ranked.filter((F.col("r") <= 2) & (F.col("vec_id") % 40 == 1)).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.zip_with("v", "b", lambda x, y: x - y).alias("qrr"),
+    )
+    got = (
+        pq.adc_topk(probes, codes, books, dim, k=5, round_decimals=9)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    assert len(got) > 0
+
+    # numpy reconstruction reference
+    cents = {int(c): np.array(b) for c, b in zip(coarse["cell"], coarse["b"])}
+    book_np = [
+        {int(c): np.array(b) for c, b in zip(bk["cell"], bk["b"])} for bk in books
+    ]
+    codes_pdf = codes.toPandas().set_index("vec_id")
+    probes_pdf = probes.toPandas()
+    m = dim // nsq
+    rows = []
+    for _, p in probes_pdf.iterrows():
+        qrr = np.array(p["qrr"])
+        for cand_id, c in codes_pdf.iterrows():
+            if c["cell"] != p["cell"] or cand_id == p["query_id"]:
+                continue
+            recon = np.concatenate([book_np[s][int(c[f"code_{s}"])] for s in range(nsq)])
+            rows.append((p["query_id"], cand_id, float(((qrr - recon) ** 2).sum())))
+    want = pd.DataFrame(rows, columns=["query_id", "cand_id", "adc"])
+    want["rank"] = (
+        want.sort_values(["adc", "cand_id"]).groupby("query_id").cumcount() + 1
+    )
+    want = (
+        want[want["rank"] <= 5]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["cand_id"]) == list(want["cand_id"])
+    assert np.allclose(got["adc"], want["adc"], atol=1e-8)
