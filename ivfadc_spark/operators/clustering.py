@@ -47,35 +47,165 @@ def _neg_l2sq(a: str = "a", b: str = "b"):
     )
 
 
-def assign_cells(vecs: DataFrame, centroids_pdf: pd.DataFrame, metric: str = "cosine") -> DataFrame:
+def _list_matrix(col) -> "np.ndarray":
+    """Arrow list<double> column -> (n, d) float64 matrix, zero-copy on the
+    flat values buffer (all rows share one dim by construction)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, flat.size // n)
+
+
+def assign_cells(
+    vecs: DataFrame,
+    centroids_pdf: pd.DataFrame,
+    metric: str = "cosine",
+    impl: str = "arrow",
+) -> DataFrame:
     """(vec_id, v) x broadcast codebook -> (vec_id, v, cell): nearest-centroid
-    assignment (J2 theta-join: broadcast + argmax, never a shuffled cross
-    join; /root/reference/Clustering.h:154-170)."""
-    spark = vecs.sparkSession
-    cent = spark.createDataFrame(centroids_pdf, schema="cell int, b array<double>")
-    scorer = _cosine("v", "b") if metric == "cosine" else _neg_l2sq("v", "b")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
-    return (
-        vecs.crossJoin(F.broadcast(cent))
-        .withColumn("_sim", scorer)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "v", "cell")
+    assignment (J2 theta-join; /root/reference/Clustering.h:154-170).
+
+    impl="arrow" (default): the (k x d) codebook ships in the task closure
+    and each partition runs ONE matrix argmax — zero exchange, n rows in,
+    n rows out. The crossJoin+window form scored n*k rows and shuffled them
+    through a per-vec_id window sort; at 100x the data that exchange IS the
+    iteration cost. impl="sql" keeps the declarative form (expression parity
+    for oracles that replay the assignment in SQL).
+
+    Tie-break parity: np.argmax returns the FIRST maximum — the lowest cell
+    id, identical to ORDER BY _sim DESC, cell ASC. Centroid rows are sorted
+    by cell before the kernel so row order == cell order."""
+    if impl == "sql":
+        spark = vecs.sparkSession
+        cent = spark.createDataFrame(centroids_pdf, schema="cell int, b array<double>")
+        scorer = _cosine("v", "b") if metric == "cosine" else _neg_l2sq("v", "b")
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
+        return (
+            vecs.crossJoin(F.broadcast(cent))
+            .withColumn("_sim", scorer)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "v", "cell")
+        )
+
+    cent = centroids_pdf.sort_values("cell")
+    cell_ids = cent["cell"].to_numpy(np.int32)
+    C = np.stack([np.asarray(b, dtype=np.float64) for b in cent["b"]])
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        if metric == "cosine":
+            # |v| factors out of the per-row argmax: score = v @ (c/|c|)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0.0] = 1.0
+            M = (C / cn[:, None]).T
+        else:
+            M = C.T
+            c2 = (C * C).sum(axis=1)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            V = _list_matrix(tbl.column("v"))
+            if metric == "cosine":
+                best = np.argmax(V @ M, axis=1)
+            else:
+                best = np.argmin(c2[None, :] - 2.0 * (V @ M), axis=1)
+            out = pa.Table.from_arrays(
+                [
+                    tbl.column("vec_id"),
+                    tbl.column("v"),
+                    pa.array(cell_ids[best], type=pa.int32()),
+                ],
+                names=["vec_id", "v", "cell"],
+            )
+            yield from out.to_batches()
+
+    return vecs.select("vec_id", "v").mapInArrow(
+        kernel, "vec_id long, v array<double>, cell int"
     )
 
 
 def recompute_centroids(
-    assigned: DataFrame, round_decimals: int = 6
+    assigned: DataFrame, round_decimals: int = 6, impl: str = "arrow"
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Member means per (cell, dim) -> driver pandas codebook (tiny: k x dim).
-    The A1 sum/count/divide update (/root/reference/Clustering.h:190-215)."""
-    pdf = (
-        assigned.select("cell", F.posexplode("v").alias("dim", "val"))
-        .groupBy("cell", "dim")
-        .agg(F.count("*").alias("n_members"), F.round(F.avg("val"), round_decimals).alias("m"))
-        .toPandas()
-        .sort_values(["cell", "dim"])
-    )
+    The A1 sum/count/divide update (/root/reference/Clustering.h:190-215).
+
+    impl="arrow" (default): each partition reduces its vectors to ONE
+    (k x d) partial-sum matrix + k counts inside a mapInArrow kernel; only
+    k*(d+1) numbers per partition reach the final merge — the n x d
+    posexplode row-shuffle of the SQL form never happens. impl="sql" keeps
+    the declarative explode+groupBy (oracle expression parity)."""
+    if impl == "sql":
+        pdf = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.count("*").alias("n_members"), F.round(F.avg("val"), round_decimals).alias("m"))
+            .toPandas()
+            .sort_values(["cell", "dim"])
+        )
+        cents = (
+            pdf.groupby("cell")["m"].agg(list).reset_index().rename(columns={"m": "b"})
+        )
+        return cents, pdf
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        sums: dict = {}
+        counts: dict = {}
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            V = _list_matrix(tbl.column("v"))
+            cells = tbl.column("cell").to_numpy(zero_copy_only=False)
+            uc, inv = np.unique(cells, return_inverse=True)
+            for i, c in enumerate(uc):
+                m = inv == i
+                block = V[m]
+                c = int(c)
+                if c in sums:
+                    sums[c] = sums[c] + block.sum(axis=0)
+                    counts[c] += block.shape[0]
+                else:
+                    sums[c] = block.sum(axis=0)
+                    counts[c] = block.shape[0]
+        if not sums:
+            return
+        cs = sorted(sums)
+        out = pa.Table.from_arrays(
+            [
+                pa.array(cs, type=pa.int32()),
+                pa.array([counts[c] for c in cs], type=pa.int64()),
+                pa.array([sums[c].tolist() for c in cs], type=pa.list_(pa.float64())),
+            ],
+            names=["cell", "n", "s"],
+        )
+        yield from out.to_batches()
+
+    partials = assigned.select(
+        F.col("cell").cast("int").alias("cell"), "v"
+    ).mapInArrow(kernel, "cell int, n long, s array<double>").toPandas()
+    agg: dict = {}
+    for _, row in partials.iterrows():
+        c = int(row["cell"])
+        if c in agg:
+            agg[c][0] += int(row["n"])
+            agg[c][1] = agg[c][1] + np.asarray(row["s"], dtype=np.float64)
+        else:
+            agg[c] = [int(row["n"]), np.asarray(row["s"], dtype=np.float64)]
+    rows = []
+    for c in sorted(agg):
+        n, s = agg[c]
+        means = np.round(s / n, round_decimals)
+        rows.extend((c, d, n, float(mv)) for d, mv in enumerate(means))
+    pdf = pd.DataFrame(rows, columns=["cell", "dim", "n_members", "m"])
     cents = (
         pdf.groupby("cell")["m"].agg(list).reset_index().rename(columns={"m": "b"})
     )
@@ -127,6 +257,7 @@ def kmeans_train(
     metric: str = "cosine",
     seeding: str = "first",
     round_decimals: int = 6,
+    impl: str = "arrow",
 ):
     """Full Lloyd training loop. Returns (centroids_pdf, last_stats_pdf, iters_run).
 
@@ -144,8 +275,8 @@ def kmeans_train(
     stats = None
     iters_run = 0
     for _ in range(max_iters):
-        assigned = assign_cells(vecs, cents, metric=metric)
-        new_cents, stats = recompute_centroids(assigned, round_decimals)
+        assigned = assign_cells(vecs, cents, metric=metric, impl=impl)
+        new_cents, stats = recompute_centroids(assigned, round_decimals, impl=impl)
         iters_run += 1
         if tol > 0.0:
             merged = cents.merge(new_cents, on="cell", suffixes=("_old", "_new"))
