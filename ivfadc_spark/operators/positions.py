@@ -191,35 +191,52 @@ def phrase_topk(
 
     par = spark.sparkContext.defaultParallelism
 
+    # phrase length per query (duplicate terms kept: every (j, term) slot)
+    qlen = {q: len(js) for q, js in need.items()}
+
     def verify(batches):
+        # ONE flattened pass, no per-(query, doc) Python: an occurrence of
+        # the phrase at start s in doc d means EVERY slot j sees position
+        # s + j, i.e. the shifted offset s appears exactly L times for the
+        # (query, doc) pair (offsets within a term are unique, so each slot
+        # contributes at most one hit per s). n_occ = number of shifted
+        # offsets with multiplicity == L — one np.unique over the batch.
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        out_q, out_d, out_n = [], [], []
-        for (qid, doc), g in whole.groupby(["query_id", "doc_id"], sort=False):
-            by_term = {t: np.asarray(p, dtype=np.int64)
-                       for t, p in zip(g["term"], g["positions"])}
-            starts = None
-            ok = True
-            for j, t in need[qid]:
-                p = by_term.get(t)
-                if p is None:
-                    ok = False
-                    break
-                shifted = p - j
-                starts = shifted if starts is None else np.intersect1d(
-                    starts, shifted, assume_unique=True
-                )
-                if starts.size == 0:
-                    ok = False
-                    break
-            if ok and starts is not None and starts.size:
-                out_q.append(qid)
-                out_d.append(doc)
-                out_n.append(int(starts.size))
-        if out_q:
-            yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "n_occ": out_n})
+        q = whole["query_id"].to_numpy(np.int64)
+        d = whole["doc_id"].to_numpy(np.int64)
+        j = whole["j"].to_numpy(np.int64)
+        plists = [np.asarray(p, dtype=np.int64) for p in whole["positions"]]
+        lens = np.fromiter((p.size for p in plists), dtype=np.int64, count=len(plists))
+        if not lens.sum():
+            return
+        flat = np.concatenate(plists)
+        starts = flat - np.repeat(j, lens)
+        # factorize (query, doc) rows -> small group ids (query_id values are
+        # arbitrary longs, so factorize q first to keep the packed key small)
+        uq_l, qx = np.unique(q, return_inverse=True)
+        pair = qx * (int(d.max()) + 1) + d
+        gids, gidx = np.unique(pair, return_inverse=True)
+        g_row = np.repeat(gidx, lens)
+        smin = int(starts.min())
+        span = int(starts.max()) - smin + 1
+        key = g_row * span + (starts - smin)
+        uk, cnt = np.unique(key, return_counts=True)
+        # required multiplicity per group = its query's phrase length
+        g_q = uq_l[(gids // (int(d.max()) + 1)).astype(np.int64)]
+        l_g = np.fromiter((qlen[int(x)] for x in g_q), dtype=np.int64, count=gids.size)
+        kg = uk // span
+        matched = cnt == l_g[kg]
+        n_occ = np.bincount(kg[matched], minlength=gids.size)
+        hit = n_occ > 0
+        if hit.any():
+            yield pd.DataFrame({
+                "query_id": g_q[hit],
+                "doc_id": (gids % (int(d.max()) + 1))[hit],
+                "n_occ": n_occ[hit],
+            })
 
     occ = cand.repartition(par, "query_id").mapInPandas(
         verify, "query_id long, doc_id long, n_occ long"
