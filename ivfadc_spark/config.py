@@ -71,5 +71,40 @@ class EngineConfig:
         kw.setdefault("extra", {k: v for k, v in raw.items() if k not in known})
         return cls(**kw)
 
+    @classmethod
+    def from_params(cls, text: str) -> "EngineConfig":
+        """Parse the reference's CParamReader key=value format
+        (/root/reference/ParamReader.cpp:39-71): one ``key value`` or
+        ``key=value`` pair per line, ``#`` comments, later keys win.
+        Values are coerced to the dataclass field's type; unknown keys go
+        to ``extra`` (the reference ignores them silently — we keep them
+        visible for lineage)."""
+        ftypes = {f.name: f.type for f in fields(cls)}
+        kw: dict = {}
+        extra: dict = {}
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                key, val = (x.strip() for x in line.split("=", 1))
+            else:
+                key, _, val = line.partition(" ")
+                key, val = key.strip(), val.strip()
+            if not key or not val:
+                continue
+            if key in ftypes and key != "extra":
+                t = ftypes[key]
+                if t in ("int", int):
+                    kw[key] = int(val)
+                elif t in ("float", float):
+                    kw[key] = float(val)
+                else:
+                    kw[key] = val
+            else:
+                extra[key] = val
+        kw["extra"] = extra
+        return cls(**kw)
+
 
 DEFAULT = EngineConfig()

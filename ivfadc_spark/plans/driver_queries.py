@@ -227,6 +227,35 @@ def q_bm25_conjunctive_indexed(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# S7 config source: the reference ships key=value .conf files read by
+# CParamReader (/root/reference/ParamReader.cpp:39-71); this fixture is the
+# same format inline. NON-default scoring knobs on purpose — the entry only
+# passes if the parsed values actually flow through build AND query.
+_CFG_PARAMS = """
+# search engine parameters (CParamReader format)
+k1 = 1.4
+b 0.6
+top_k 7
+block_size 32
+doc_shards = 8
+nt 16            # reference knob with no Spark analog -> extra
+"""
+
+
+def q_config_source(spark, sf_dir):
+    """S7: parse a CParamReader-style key=value config into EngineConfig and
+    drive the full engine with it — a segment built with the parsed block
+    size/sharding, queried with the parsed k1/b/top_k. The oracle mirrors
+    the parsed values as literals, so any parse or plumbing break mismatches."""
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+
+    cfg = EngineConfig.from_params(_CFG_PARAMS)
+    assert cfg.extra.get("nt") == "16"  # unknown keys preserved for lineage
+    seg = _get_segment(spark, sf_dir, cfg, tag="cfgsrc")
+    res = bm25_topk_indexed(_queries_df(spark), seg, k=cfg.top_k, cfg=cfg)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_multi_segment(spark, sf_dir):
     """Multi-segment query federation (U1 at query time): the corpus built
     as TWO independent segments, queried through a SegmentSet — docIDs
@@ -1469,6 +1498,25 @@ SELECT query_id, rank::INT AS rank, cand_id, adc FROM (
 
 ORACLES["knn_ivf_adc"] = _pq_adc_oracle_sql()
 
+# config_source: the same BM25 truth with the PARSED knobs as literals
+# (k1=1.4, b=0.6, top 7 — any parse/plumbing break mismatches)
+ORACLES["config_source"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*(1.4+1)/(tf.tf + 1.4*(1 - 0.6 + 0.6*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 7
+"""
+
 ORACLES["bm25_topk_batch"] = _BM25_TOPK_SQL.format(values=_values_sql())
 ORACLES["bm25_conjunctive_indexed"] = ORACLES["bm25_topk_conjunctive"]
 # federation answers against the segment UNION; the truth is simply BM25
@@ -1534,6 +1582,7 @@ QUERIES = {
     "knn_ivf_probe": q_knn_ivf,
     "knn_ivf_trained": q_knn_ivf_trained,
     "knn_ivf_adc": q_knn_ivf_adc,
+    "config_source": q_config_source,
     "kmeans_recompute": q_kmeans_recompute,
     "kmeans_train": q_kmeans_train,
 }
