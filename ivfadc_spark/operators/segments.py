@@ -185,21 +185,33 @@ class SegmentSet:
         self.offsets = []
         acc, n_docs, tokens = 0, 0, 0.0
         shard_counts = []
+        self.salt_offsets = []
+        salt_acc = 0
         for s in self.segments:
             self.offsets.append(acc)
             acc += s.doc_space
             n_docs += s.meta["n_docs"]
             tokens += s.meta["avgdl"] * s.meta["n_docs"]
-            shard_counts.append(
-                int(s.meta.get("n_shards", s.meta.get("config", {}).get("doc_shards", 0)) or 0)
-            )
+            n_sh = int(s.meta.get("n_shards", s.meta.get("config", {}).get("doc_shards", 0)) or 0)
+            shard_counts.append(n_sh)
+            # segments keep DISJOINT salt ranges in the union: member salts
+            # are rebased by the cumulative shard count, so a (term, salt)
+            # group never mixes two segments' blocks. The batch kernel needs
+            # this twice over — its scan shard is salt // span (colliding
+            # shards would interleave non-monotone doc ranges inside a term
+            # slice, breaking the doc-sorted binary-search invariant), and
+            # its per-shard sentinel dl table must span one segment's doc
+            # range, not the whole union's.
+            self.salt_offsets.append(salt_acc)
+            salt_acc += max(n_sh, 1)
         self.meta = {
             "n_docs": int(n_docs),
             "avgdl": (tokens / n_docs) if n_docs else 0.0,
             "doc_space": int(acc),
             # every member is per-doc-consistently sharded, so the union is
-            # too; the max shard id bounds the salt range for task sizing
-            "n_shards": max(shard_counts) if min(shard_counts) > 0 else 0,
+            # too; rebased salts make shard ids disjoint, so the union has
+            # the SUM of the members' shards
+            "n_shards": sum(shard_counts) if min(shard_counts) > 0 else 0,
             "doc_base": 0,
             "config": c0,
             "lineage": {
@@ -216,9 +228,16 @@ class SegmentSet:
 
     @property
     def raw_blocks(self) -> DataFrame:
+        from ivfadc_spark.operators.postings import SALT_CHUNK_SPAN
+
         out = None
-        for s, off in zip(self.segments, self.offsets):
+        for s, off, soff in zip(self.segments, self.offsets, self.salt_offsets):
             b = remap_blocks(s.raw_blocks, off)
+            if soff:
+                b = b.withColumn(
+                    "salt",
+                    (F.col("salt") + F.lit(int(soff) * SALT_CHUNK_SPAN)).cast("int"),
+                )
             out = b if out is None else out.unionByName(b)
         return out
 
@@ -368,9 +387,23 @@ def merge_segments(
     os.makedirs(out_path, exist_ok=True)
     p_blocks = os.path.join(out_path, "blocks")
     # per-segment append: inputs are already term_bucket-partitioned, so each
-    # write task streams its own buckets — no exchange, no wide dependency
-    for i, (s, off) in enumerate(zip(ss.segments, ss.offsets)):
-        remap_blocks(s.raw_blocks, off).write.mode(
+    # write task streams its own buckets — no exchange, no wide dependency.
+    # Salts are rebased per source (cumulative shard offsets) exactly as the
+    # query-time SegmentSet does: the merged segment's (term, salt) groups
+    # stay doc-sorted and its shard ids disjoint — the batch kernel's
+    # invariants hold on merged output too.
+    from ivfadc_spark.operators.postings import SALT_CHUNK_SPAN
+
+    for i, (s, off, soff) in enumerate(
+        zip(ss.segments, ss.offsets, ss.salt_offsets)
+    ):
+        b = remap_blocks(s.raw_blocks, off)
+        if soff:
+            b = b.withColumn(
+                "salt",
+                (F.col("salt") + F.lit(int(soff) * SALT_CHUNK_SPAN)).cast("int"),
+            )
+        b.write.mode(
             "overwrite" if i == 0 else "append"
         ).partitionBy("term_bucket").parquet(p_blocks)
     ss.doc_map.write.mode("overwrite").parquet(os.path.join(out_path, "doc_map"))

@@ -278,6 +278,27 @@ def q_multi_segment(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_multi_segment_batch(spark, sf_dir):
+    """The X4 doc-sharded batch kernel THROUGH federation: two independent
+    segments queried as one SegmentSet. Member salts are rebased so shard
+    ids stay disjoint — each scan task sees one segment's doc-sorted shard.
+    Oracle = the same whole-corpus brute-force BM25."""
+    from ivfadc_spark.operators.segments import SegmentSet
+    from ivfadc_spark.operators.wand import bm25_topk_batch
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    seg_a = _get_segment(
+        spark, sf_dir, _ENGINE_CFG, doc_filter=(F.col("doc_id") <= half), tag="half_a"
+    )
+    seg_b = _get_segment(
+        spark, sf_dir, _ENGINE_CFG, doc_filter=(F.col("doc_id") > half), tag="half_b"
+    )
+    ss = SegmentSet(spark, [seg_a.path, seg_b.path])
+    res = bm25_topk_batch(_queries_df(spark), ss, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 # exact-phrase query set: frequent testdata bigrams + one OOV phrase
 PHRASESET = [
     (0, "table hash"),
@@ -1522,6 +1543,7 @@ ORACLES["bm25_conjunctive_indexed"] = ORACLES["bm25_topk_conjunctive"]
 # federation answers against the segment UNION; the truth is simply BM25
 # over the whole corpus
 ORACLES["multi_segment_query"] = _BM25_TOPK_SQL.format(values=_values_sql())
+ORACLES["multi_segment_batch"] = _BM25_TOPK_SQL.format(values=_values_sql())
 
 _PHRASE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PHRASESET)
 ORACLES["phrase_topk"] = f"""
@@ -1583,6 +1605,7 @@ QUERIES = {
     "knn_ivf_trained": q_knn_ivf_trained,
     "knn_ivf_adc": q_knn_ivf_adc,
     "config_source": q_config_source,
+    "multi_segment_batch": q_multi_segment_batch,
     "kmeans_recompute": q_kmeans_recompute,
     "kmeans_train": q_kmeans_train,
 }

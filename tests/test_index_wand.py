@@ -212,3 +212,40 @@ def test_doc_map_and_text_invariant(spark, corpus):
 
     docs = assign_doc_ids(tx).select("doc_id", "text").orderBy("doc_id").toPandas()
     assert list(docs["text"]) == list(src["text"])
+
+
+def test_batch_path_over_merged_and_federated(spark, corpus, tmp_path):
+    """The doc-sharded batch kernel over (a) a physically MERGED segment and
+    (b) a query-time SegmentSet must both equal the single-build answer.
+    Exercises the per-source salt rebase: without disjoint salt ranges a
+    (term, salt) group would interleave two segments' non-monotone doc
+    ranges and break the kernel's doc-sorted binary-search invariant."""
+    from ivfadc_spark.operators.segments import SegmentSet
+    from ivfadc_spark.operators.wand import bm25_topk_batch
+
+    tx, seg, out = corpus
+    half_a = tx.filter("conv_id < 'conv-000040'")
+    half_b = tx.filter("conv_id >= 'conv-000040'")
+    seg_a = build_index(spark, half_a, str(tmp_path / "fa"), cfg=CFG)
+    seg_b = build_index(spark, half_b, str(tmp_path / "fb"), cfg=CFG)
+    want = _df_path_topk(spark, seg)
+
+    merged = merge_segments(spark, [seg_a.path, seg_b.path], str(tmp_path / "fm"), cfg=CFG)
+    got_m = (
+        bm25_topk_batch(_queries_df(spark), merged, k=10, cfg=CFG)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    assert list(got_m["doc_id"]) == list(want["doc_id"])
+
+    ss = SegmentSet(spark, [seg_a.path, seg_b.path])
+    assert ss.meta["n_shards"] == (
+        int(seg_a.meta["n_shards"]) + int(seg_b.meta["n_shards"])
+    )
+    got_f = (
+        bm25_topk_batch(_queries_df(spark), ss, k=10, cfg=CFG)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    assert list(got_f["doc_id"]) == list(want["doc_id"])
+    import numpy as np
+
+    np.testing.assert_allclose(got_f["score"], want["score"], rtol=1e-12)
