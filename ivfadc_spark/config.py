@@ -54,6 +54,12 @@ class EngineConfig:
     # many-worker single-host runs (page-fault/allocator contention).
     encode_chunk_tokens: int = 1 << 19
 
+    # fused positional postings: when 1, stage 01 ALSO emits positional
+    # twin rows (block_id = -10 - block_id, token offsets varint-encoded in
+    # the v3-unused dls column) from the SAME tokenize pass — phrase search
+    # without a second corpus pass. 0 (default) leaves the build untouched.
+    with_positions: int = 0
+
     # layout
     shuffle_partitions: int = 32
     term_buckets: int = 64  # postings dataset partition key = hash(term) % buckets

@@ -142,7 +142,16 @@ def phrase_topk(
     k = k or cfg.top_k
     spark = segment.spark
     pos_path = os.path.join(segment.path, "positions")
-    positions = spark.read.parquet(pos_path)
+    has_sidecar = os.path.exists(pos_path)
+    fused = not has_sidecar and bool(
+        int(segment.meta["config"].get("with_positions", 0) or 0)
+    )
+    if not has_sidecar and not fused:
+        raise ValueError(
+            "phrase_topk: segment has neither a positions sidecar "
+            "(build_positions) nor fused positional rows "
+            "(cfg.with_positions=1 at build time)"
+        )
     n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
 
     # phrase terms with their in-phrase offsets (duplicates kept: "a b a")
@@ -166,13 +175,25 @@ def phrase_topk(
         need.setdefault(r["query_id"], []).append((r["j"], r["term"]))
     n_distinct = {q: len({t for _, t in js}) for q, js in need.items()}
 
-    qt_df = F.broadcast(spark.createDataFrame(qt_rows))
-    cand = (
-        positions.filter(
+    if has_sidecar:
+        positions = spark.read.parquet(pos_path).filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
-        .join(qt_df, "term")
-    )
+    else:
+        # fused build: positional twin rows (block_id <= -10) live in the
+        # blocks dataset under the same term_bucket layout — identical
+        # partition pruning, zero extra corpus passes at build time
+        from ivfadc_spark.operators.postings import decode_position_rows
+
+        twin = segment.raw_blocks.filter(
+            (F.col("block_id") <= -10)
+            & F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(terms)
+        )
+        positions = decode_position_rows(twin)
+
+    qt_df = F.broadcast(spark.createDataFrame(qt_rows))
+    cand = positions.join(qt_df, "term")
     # conjunctive prefilter: keep (query, doc) pairs holding every DISTINCT
     # phrase term — pure Catalyst, prunes the Python verify step
     nd = F.broadcast(

@@ -117,7 +117,8 @@ def salted_tf(
     )
 
 
-def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz, with_dls=True):
+def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz, with_dls=True,
+                   positions=None):
     """Encode postings ALREADY sorted by (code, salt, doc_id) into block
     RecordBatches — the shared tail of both encode paths.
 
@@ -132,7 +133,13 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz, with_dls=True):
     stream is NOT written — dl is per-DOC data and already lives once per
     doc in the sentinel sidecar; repeating it per posting made the dls
     stream ~1/3 of every block's bytes. min_dl block bounds are still
-    computed (dls is still required as an input)."""
+    computed (dls is still required as an input).
+
+    ``positions``: optional (stream, per_posting_nbytes) pair of the
+    delta-varint token-offset streams (fused positional build). Each block
+    then gets a TWIN row (block_id = -10 - block_id) sharing its doc_ids /
+    tfs slices, with the positions slice in the dls column — same
+    term_bucket layout, pruned out of every scoring path by block_id."""
     import pyarrow as pa
 
     from ivfadc_spark.functions.codecs import varint_encode_with_lengths
@@ -175,6 +182,12 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz, with_dls=True):
         hi = ends[bend - 1]
         streams[name], col_lo[name], col_hi[name] = stream, lo, hi
         tot_bytes += hi - lo
+    if positions is not None:
+        pstream, pnb = positions  # per-POSTING byte lengths
+        pends = np.cumsum(pnb)
+        pos_lo = (pends - pnb)[bstart]
+        pos_hi = pends[bend - 1]
+        tot_bytes += pos_hi - pos_lo
     cum = np.cumsum(tot_bytes)
     edges = [0]
     while edges[-1] < bstart.size:
@@ -200,27 +213,45 @@ def _encode_sorted(vocab, codes, ids, tfs, dls, salts, bsz, with_dls=True):
                 [None, pa.py_buffer(np.zeros(z - a + 1, dtype=np.int32).tobytes()),
                  pa.py_buffer(b"")],
             )
+        shared = [
+            vocab.take(pa.array(codes[bstart[a:z]])),
+            pa.array(salts[bstart[a:z]], type=pa.int32()),
+            pa.array(block_id[a:z].astype(np.int32)),
+            pa.array(n_blk[a:z].astype(np.int32)),
+            pa.array(ids[bstart[a:z]], type=pa.int64()),
+            pa.array(ids[bend[a:z] - 1], type=pa.int64()),
+        ]
+        stats_cols = [
+            pa.array(max_tf[a:z].astype(np.int64)),
+            pa.array(min_dl[a:z].astype(np.int64)),
+            pa.array(sum_tf[a:z].astype(np.int64)),
+        ]
+        names = [
+            "term", "salt", "block_id", "n", "first_doc", "last_doc",
+            "doc_ids", "tfs", "dls", "max_tf", "min_dl", "sum_tf", "bytes",
+        ]
         yield pa.RecordBatch.from_arrays(
-            [
-                vocab.take(pa.array(codes[bstart[a:z]])),
-                pa.array(salts[bstart[a:z]], type=pa.int32()),
-                pa.array(block_id[a:z].astype(np.int32)),
-                pa.array(n_blk[a:z].astype(np.int32)),
-                pa.array(ids[bstart[a:z]], type=pa.int64()),
-                pa.array(ids[bend[a:z] - 1], type=pa.int64()),
-                enc["doc_ids"],
-                enc["tfs"],
-                enc["dls"],
-                pa.array(max_tf[a:z].astype(np.int64)),
-                pa.array(min_dl[a:z].astype(np.int64)),
-                pa.array(sum_tf[a:z].astype(np.int64)),
-                pa.array(tot_bytes[a:z], type=pa.int64()),
-            ],
-            names=[
-                "term", "salt", "block_id", "n", "first_doc", "last_doc",
-                "doc_ids", "tfs", "dls", "max_tf", "min_dl", "sum_tf", "bytes",
-            ],
+            shared + [enc["doc_ids"], enc["tfs"], enc["dls"]] + stats_cols
+            + [pa.array(tot_bytes[a:z], type=pa.int64())],
+            names=names,
         )
+        if positions is not None:
+            plo_c, phi_c = int(pos_lo[a]), int(pos_hi[z - 1])
+            poffs = np.empty(z - a + 1, dtype=np.int32)
+            poffs[:-1] = pos_lo[a:z] - plo_c
+            poffs[-1] = phi_c - plo_c
+            penc = pa.Array.from_buffers(
+                pa.binary(), z - a,
+                [None, pa.py_buffer(poffs.tobytes()),
+                 pa.py_buffer(memoryview(pstream)[plo_c:phi_c])],
+            )
+            twin = list(shared)
+            twin[2] = pa.array((-10 - block_id[a:z]).astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                twin + [enc["doc_ids"], enc["tfs"], penc] + stats_cols
+                + [pa.array(pos_hi[a:z] - pos_lo[a:z], type=pa.int64())],
+                names=names,
+            )
 
 
 def build_blocks_inplace(
@@ -248,6 +279,7 @@ def build_blocks_inplace(
     bsz = int(cfg.block_size)
     pattern = cfg.token_pattern
     chunk_tokens = int(cfg.encode_chunk_tokens)
+    want_pos = bool(int(getattr(cfg, "with_positions", 0) or 0))
 
     docs = docs.withColumn("_pid", F.spark_partition_id())
 
@@ -323,18 +355,45 @@ def build_blocks_inplace(
             # tf AND sorts postings into encoder order in a single call
             rb_bits = max(int(row_base - 1), 1).bit_length()
             cb_bits = max(len(vocab) - 1, 1).bit_length()
+            tok_order = None
             if rb_bits + cb_bits <= 63:
                 keys = (codes_tok << rb_bits) | par
-                uk, tf = np.unique(keys, return_counts=True)
+                if want_pos:
+                    # token-level posting order; stable keeps each posting's
+                    # offsets ascending (tokens arrive in document order)
+                    tok_order = np.argsort(keys, kind="stable")
+                    sk = keys[tok_order]
+                    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+                    uk = sk[starts]
+                    tf = np.diff(np.r_[starts, sk.size])
+                else:
+                    uk, tf = np.unique(keys, return_counts=True)
                 code_p = uk >> rb_bits
                 row_p = uk & ((1 << rb_bits) - 1)
             else:  # gigantic chunk fallback: explicit 2-key sort
-                order = np.lexsort((par, codes_tok))
-                ck, pk = codes_tok[order], par[order]
+                tok_order = np.lexsort((par, codes_tok))
+                ck, pk = codes_tok[tok_order], par[tok_order]
                 new = np.r_[True, (ck[1:] != ck[:-1]) | (pk[1:] != pk[:-1])]
                 starts = np.flatnonzero(new)
                 tf = np.diff(np.r_[starts, ck.size])
                 code_p, row_p = ck[starts], pk[starts]
+            positions = None
+            if want_pos:
+                # 0-based offset of each kept token within its doc (rows are
+                # contiguous and ascending in the chunk's token stream)
+                row_first = np.cumsum(dl_by_row) - dl_by_row
+                tokpos = np.arange(par.size, dtype=np.int64) - row_first[par]
+                pos_sorted = tokpos[tok_order]
+                pstarts = np.cumsum(tf) - tf  # first token of each posting
+                pdelta = np.empty(pos_sorted.size, dtype=np.uint64)
+                pdelta[0] = np.uint64(pos_sorted[0])
+                pdelta[1:] = (pos_sorted[1:] - pos_sorted[:-1]).astype(np.uint64)
+                pdelta[pstarts] = pos_sorted[pstarts].astype(np.uint64)
+                from ivfadc_spark.functions.codecs import varint_encode_with_lengths
+
+                pstream, pnb = varint_encode_with_lengths(pdelta)
+                per_posting_nb = np.add.reduceat(pnb, pstarts)
+                positions = (pstream, per_posting_nb)
             ids_p = doc_ids[row_p]
             dls_p = dl_by_row[row_p]
             salts = np.full(code_p.size, salt_val, dtype=np.int32)
@@ -342,7 +401,7 @@ def build_blocks_inplace(
             # already carries this chunk's (doc_id -> dl) table once
             yield from _encode_sorted(
                 vocab, code_p, ids_p, tf.astype(np.int64), dls_p, salts, bsz,
-                with_dls=False,
+                with_dls=False, positions=positions,
             )
 
         for rb in batches:
@@ -569,13 +628,78 @@ def block_metrics(blocks: DataFrame) -> DataFrame:
     ``cf`` is the collection frequency — which is what lets the build derive
     the dictionary FROM the encoded blocks instead of a separate tf pre-pass
     (:func:`ivfadc_spark.operators.stats.dictionary_from_metrics`)."""
-    return blocks.filter(F.col("term").isNotNull()).groupBy("term").agg(
+    return blocks.filter(
+        F.col("term").isNotNull() & (F.col("block_id") >= 0)
+    ).groupBy("term").agg(
         F.sum("n").alias("postings"),
         F.sum("bytes").alias("bytes"),
         F.countDistinct("salt").alias("n_salts"),
         F.count("*").alias("n_blocks"),
         F.max("max_tf").alias("max_tf"),
         F.sum("sum_tf").alias("cf"),
+    )
+
+
+def decode_position_rows(pos_rows: DataFrame) -> DataFrame:
+    """(term, doc_id, positions array<long>) from the fused positional TWIN
+    rows (block_id <= -10) the in-place encoder emits when
+    cfg.with_positions is set — phrase search input recovered without a
+    second corpus tokenize. Each twin row shares its block's doc_ids/tfs
+    streams; the dls column holds the per-posting delta-varint token
+    offsets (absolute first value per posting). A doc appears in exactly
+    one chunk, so each decoded posting carries the doc's COMPLETE offset
+    list for that term."""
+    from ivfadc_spark.functions.codecs import varint_decode
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            counts = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            ids_d = varint_decode(
+                b"".join(bytes(x) for x in tbl.column("doc_ids").to_pylist()), total
+            ).astype(np.int64)
+            c = np.cumsum(ids_d)
+            rstarts = np.cumsum(counts) - counts
+            base = np.where(rstarts > 0, c[rstarts - 1], 0)
+            ids = c - np.repeat(base, counts)
+            tf = varint_decode(
+                b"".join(bytes(x) for x in tbl.column("tfs").to_pylist()), total
+            ).astype(np.int64)
+            npos = int(tf.sum())
+            pdelta = varint_decode(
+                b"".join(bytes(x) for x in tbl.column("dls").to_pylist()), npos
+            ).astype(np.int64)
+            pc_ = np.cumsum(pdelta)
+            pstarts = np.cumsum(tf) - tf
+            pbase = np.where(pstarts > 0, pc_[pstarts - 1], 0)
+            pos = pc_ - np.repeat(pbase, tf)
+            offsets = np.empty(total + 1, dtype=np.int32)
+            offsets[:-1] = pstarts
+            offsets[-1] = npos
+            term_rep = tbl.column("term").combine_chunks().take(
+                pa.array(np.repeat(np.arange(counts.size), counts))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    term_rep,
+                    pa.array(ids, type=pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(pos, type=pa.int64()),
+                    ),
+                ],
+                names=["term", "doc_id", "positions"],
+            )
+
+    return pos_rows.select("term", "n", "doc_ids", "tfs", "dls").mapInArrow(
+        gen, "term string, doc_id long, positions array<long>"
     )
 
 

@@ -62,8 +62,11 @@ class Segment:
 
     @property
     def blocks(self) -> DataFrame:
-        """Posting blocks only (doc-stat sentinel rows excluded)."""
-        return self.raw_blocks.filter(F.col("term").isNotNull())
+        """Posting blocks only (sentinel doc-stat rows and positional twin
+        rows excluded)."""
+        return self.raw_blocks.filter(
+            F.col("term").isNotNull() & (F.col("block_id") >= 0)
+        )
 
     @property
     def raw_blocks(self) -> DataFrame:
@@ -224,7 +227,9 @@ class SegmentSet:
 
     @property
     def blocks(self) -> DataFrame:
-        return self.raw_blocks.filter(F.col("term").isNotNull())
+        return self.raw_blocks.filter(
+            F.col("term").isNotNull() & (F.col("block_id") >= 0)
+        )
 
     @property
     def raw_blocks(self) -> DataFrame:

@@ -205,7 +205,10 @@ def bm25_topk_batch(
     # from since format v3 dropped the per-posting dl stream. dl thus ships
     # ONCE PER SHARD (bytes ~ docs/shard), not once per posting.
     blocks = segment.raw_blocks.filter(
-        F.col("term").isNull() | F.col("term").isin(terms)
+        # sentinels (block_id -1) ride along; positional twin rows (<= -10)
+        # must NOT enter the scoring scan
+        (F.col("block_id") >= -1)
+        & (F.col("term").isNull() | F.col("term").isin(terms))
     ).select(
         "term", "salt", "block_id", "n", "doc_ids", "tfs", "dls",
         "max_tf", "min_dl",

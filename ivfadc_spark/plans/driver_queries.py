@@ -310,23 +310,24 @@ PHRASESET = [
 ]
 
 
-def q_phrase_topk(spark, sf_dir):
-    """Exact phrase search over the positional sidecar (beyond the
-    reference: it stores no positions). Ranked by occurrence count; the
-    sidecar is built once next to the cached segment and probed with the
-    same term_bucket pruning as posting blocks."""
-    from ivfadc_spark.operators.positions import build_positions, phrase_topk
-    from ivfadc_spark.sources.transcripts import transcripts_from_documents
+_POS_CFG = EngineConfig(block_size=64, salt_df_threshold=200, max_salts=4,
+                        with_positions=1)
 
-    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
-    if not os.path.exists(os.path.join(seg.path, "positions")):
-        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-        build_positions(spark, transcripts_from_documents(docs), seg.path, _ENGINE_CFG)
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact phrase search (beyond the reference: it stores no positions)
+    over the FUSED positional build: stage 01 emits positional twin rows
+    from the same tokenize pass as the posting blocks — one corpus pass
+    total, probed with the same term_bucket pruning. Ranked by occurrence
+    count."""
+    from ivfadc_spark.operators.positions import phrase_topk
+
+    seg = _get_segment(spark, sf_dir, _POS_CFG, tag="fusedpos")
     pq = spark.createDataFrame(
         pd.DataFrame(PHRASESET, columns=["query_id", "text"]),
         schema="query_id long, text string",
     )
-    return phrase_topk(pq, seg, k=10)
+    return phrase_topk(pq, seg, k=10, cfg=_POS_CFG)
 
 
 def q_doc_map_join(spark, sf_dir):

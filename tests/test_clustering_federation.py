@@ -289,3 +289,41 @@ def test_pq_adc_equals_reconstruction(spark):
     assert list(got["query_id"]) == list(want["query_id"])
     assert list(got["cand_id"]) == list(want["cand_id"])
     assert np.allclose(got["adc"], want["adc"], atol=1e-8)
+
+
+def test_fused_positions_equal_sidecar_and_leave_scoring_unchanged(spark, tmp_path):
+    """A with_positions=1 build answers phrase queries identically to the
+    two-pass sidecar, from ONE tokenize pass; the positional twin rows must
+    be invisible to every scoring path and to the dictionary."""
+    import dataclasses
+
+    from ivfadc_spark.operators.positions import build_positions, phrase_topk
+    from ivfadc_spark.operators.wand import bm25_topk_batch, bm25_topk_indexed
+
+    cfg_f = dataclasses.replace(CFG, with_positions=1)
+    tx = synth_transcripts(spark, n_conversations=30)
+    seg_f = build_index(spark, tx, str(tmp_path / "pf"), cfg=cfg_f)
+    seg_p = build_index(spark, tx, str(tmp_path / "pp"), cfg=CFG)
+    build_positions(spark, tx, seg_p.path, CFG)
+
+    phrases = [(0, "headterm term000"), (1, "term001 term000"), (2, "nosuch phrase")]
+    pq = spark.createDataFrame(
+        pd.DataFrame(phrases, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    a = phrase_topk(pq, seg_f, k=10, cfg=cfg_f).orderBy("query_id", "rank").toPandas()
+    b = phrase_topk(pq, seg_p, k=10, cfg=CFG).orderBy("query_id", "rank").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "text": ["headterm term003", "term001 term002"]}),
+        schema="query_id long, text string",
+    )
+    for fn in (bm25_topk_indexed, bm25_topk_batch):
+        x = fn(qs, seg_f, k=10, cfg=cfg_f).orderBy("query_id", "rank").toPandas()
+        y = fn(qs, seg_p, k=10, cfg=CFG).orderBy("query_id", "rank").toPandas()
+        assert list(x["doc_id"]) == list(y["doc_id"])
+    da = seg_f.dictionary.orderBy("term").toPandas().reset_index(drop=True)
+    db = seg_p.dictionary.orderBy("term").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(da, db)
