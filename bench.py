@@ -33,7 +33,7 @@ def main() -> None:
     # on this class of host (page-fault/allocator contention inflates system
     # CPU ~7x at 32-way; measured, see BENCH/BASELINE.md) — 16 is the fastest
     # measured width for the one-JVM harness. Override via SPARK_GRAFT_CPUS.
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     import pandas as pd
@@ -42,12 +42,33 @@ def main() -> None:
     from ivfadc_spark.operators.wand import bm25_topk_indexed
     from ivfadc_spark.plans import driver_queries as DQ
     from ivfadc_spark.plans.build_index import build_index
-    from ivfadc_spark.session import get_spark
+    from ivfadc_spark.session import get_spark, wait_for_executors
     from ivfadc_spark.sources.transcripts import synth_transcripts_fast_pdf
 
-    spark = get_spark("ivfadc-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    if cpus > 16:
+        # past ~16 threads ONE local JVM anti-scales (page-fault/allocator
+        # contention inflates system CPU ~7x; measured, BENCH/BASELINE.md).
+        # A wide core grant is used as TWO executor JVMs instead — all cores
+        # busy, per-JVM width in the sane regime, and the same shape a real
+        # cluster would give this job.
+        master = f"local-cluster[2,{cpus // 2},24576]"
+        conf = {
+            "spark.executor.memory": "22g",
+            # executor JVMs are separate processes: their python workers
+            # need the engine on the path (plain local mode inherits it)
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.abspath(__file__)
+            ),
+        }
+    else:
+        master = f"local[{cpus}]"
+        conf = None
+    spark = get_spark(
+        "ivfadc-bench", master=master, shuffle_partitions=cpus, extra_conf=conf
+    )
+    wait_for_executors(spark)
     timings: dict[str, float] = {}
-    extra: dict = {"master": f"local[{cpus}]"}
+    extra: dict = {"master": master}
 
     # ---- corpus: deterministic synthetic transcripts scaled by sf
     n_conv = max(200, int(20_000 * sf / 0.1))
