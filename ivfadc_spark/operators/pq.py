@@ -122,6 +122,48 @@ def encode_pq(res: DataFrame, books: list[pd.DataFrame], dim: int) -> DataFrame:
     return out.drop("rr")
 
 
+def write_pq_index(
+    path: str,
+    codes: DataFrame,
+    books: list[pd.DataFrame],
+    coarse_pdf: pd.DataFrame,
+) -> None:
+    """Persist the IVFADC index: codes parquet PARTITIONED BY cell — the
+    on-disk inverted file (a query probing nprobe cells reads only those
+    partitions; the reference's per-cell entry files, Index.cpp:9-11) —
+    plus the coarse codebook and sub-codebooks as one small json sidecar
+    (codebooks are driver-resident at query time, Vocab.cpp:152-166)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    meta = {
+        "nsq": len(books),
+        "coarse": coarse_pdf.to_dict(orient="list"),
+        "books": [b.to_dict(orient="list") for b in books],
+    }
+    with open(os.path.join(path, "pq_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_pq_index(spark, path: str):
+    """-> (codes DataFrame, books, coarse_pdf). Cell partition pruning is
+    free on the codes frame (filter cell IN probed -> only those parquet
+    partitions scanned)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "pq_meta.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    books = [pd.DataFrame(b) for b in meta["books"]]
+    coarse = pd.DataFrame(meta["coarse"])
+    return codes, books, coarse
+
+
 def adc_topk(
     probes: DataFrame,
     codes: DataFrame,

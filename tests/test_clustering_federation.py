@@ -327,3 +327,44 @@ def test_fused_positions_equal_sidecar_and_leave_scoring_unchanged(spark, tmp_pa
     da = seg_f.dictionary.orderBy("term").toPandas().reset_index(drop=True)
     db = seg_p.dictionary.orderBy("term").toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(da, db)
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    """write_pq_index -> load_pq_index -> adc_topk equals the in-memory
+    result, and a probe filter prunes the codes scan to the probed cell
+    partitions (the on-disk inverted file)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.operators import pq
+
+    rng = np.random.default_rng(5)
+    dim, nsq, ks = 16, 4, 4
+    vecs_np = rng.normal(size=(100, dim)).round(3)
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(100), "v": [list(map(float, r)) for r in vecs_np]}),
+        schema="vec_id long, v array<double>",
+    )
+    coarse = pd.DataFrame(
+        {"cell": np.arange(4, dtype=np.int32), "b": [list(map(float, r)) for r in vecs_np[:4]]}
+    )
+    ranked = pq.coarse_assign(e, coarse)
+    res = pq.residuals(ranked.filter(F.col("r") == 1))
+    books = pq.train_pq(res, dim, nsq, ks, iters=1)
+    codes = pq.encode_pq(res, books, dim)
+    probes = ranked.filter((F.col("r") <= 2) & (F.col("vec_id") % 50 == 3)).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.zip_with("v", "b", lambda x, y: x - y).alias("qrr"),
+    )
+    want = pq.adc_topk(probes, codes, books, dim, k=5).orderBy("query_id", "rank").toPandas()
+
+    pq.write_pq_index(str(tmp_path / "pqidx"), codes, books, coarse)
+    codes2, books2, coarse2 = pq.load_pq_index(spark, str(tmp_path / "pqidx"))
+    assert [list(b["cell"]) for b in books2] == [list(b["cell"]) for b in books]
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    pruned = codes2.filter(F.col("cell").isin(probed_cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan  # partition filter present on the scan
+    got = pq.adc_topk(probes, pruned, books2, dim, k=5).orderBy("query_id", "rank").toPandas()
+    assert list(got["cand_id"]) == list(want["cand_id"])
+    np.testing.assert_allclose(got["adc"], want["adc"], atol=1e-9)
