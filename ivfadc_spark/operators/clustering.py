@@ -47,6 +47,28 @@ def _neg_l2sq(a: str = "a", b: str = "b"):
     )
 
 
+def _round_half_up(arr: "np.ndarray", decimals: int) -> "np.ndarray":
+    """HALF_UP rounding matching Spark's F.round / DuckDB's round() — NOT
+    numpy's banker's (half-to-even) rounding, which diverges on exact-half
+    values (e.g. 5e-07 at 6 decimals: HALF_UP -> 1e-06, banker's -> 0.0).
+    Spark rounds BigDecimal.valueOf(double) (shortest decimal repr, same as
+    Python's repr) with HALF_UP; done per element via decimal — only ever
+    applied to driver-side k x d codebooks, so cost is irrelevant."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-decimals)
+    flat = np.asarray(arr, dtype=np.float64).ravel()
+    out = np.fromiter(
+        (
+            float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+            for x in flat
+        ),
+        dtype=np.float64,
+        count=flat.size,
+    )
+    return out.reshape(np.shape(arr))
+
+
 def _list_matrix(col) -> "np.ndarray":
     """Arrow list<double> column -> (n, d) float64 matrix, zero-copy on the
     flat values buffer (all rows share one dim by construction)."""
@@ -77,7 +99,13 @@ def assign_cells(
 
     Tie-break parity: np.argmax returns the FIRST maximum — the lowest cell
     id, identical to ORDER BY _sim DESC, cell ASC. Centroid rows are sorted
-    by cell before the kernel so row order == cell order."""
+    by cell before the kernel so row order == cell order. CAVEAT: the arrow
+    kernel computes scores in BLAS order (c2 - 2*V@M / normalized dot), the
+    sql form in a sequential left fold — bit-identical on exact ties, but a
+    pair of centroids whose true distances differ by less than the float
+    rounding of either expression can in principle assign differently
+    between impl='arrow' and impl='sql' (never observed on the contract
+    fixtures; see tests/test_clustering_federation.py parity tests)."""
     if impl == "sql":
         spark = vecs.sparkSession
         cent = spark.createDataFrame(centroids_pdf, schema="cell int, b array<double>")
@@ -203,7 +231,7 @@ def recompute_centroids(
     rows = []
     for c in sorted(agg):
         n, s = agg[c]
-        means = np.round(s / n, round_decimals)
+        means = _round_half_up(s / n, round_decimals)
         rows.extend((c, d, n, float(mv)) for d, mv in enumerate(means))
     pdf = pd.DataFrame(rows, columns=["cell", "dim", "n_members", "m"])
     cents = (

@@ -12,30 +12,42 @@ probed cell, then each candidate's distance is ``nsq`` table gathers
 (/root/reference/SearchEngine.cpp:170-184).
 
 Spark-first mapping:
+- coarse assignment and sub-code encoding are ONE ``mapInArrow`` pass each
+  (default ``impl="arrow"``): the codebooks — coarse k x d plus nsq tiny
+  ks x (d/nsq) sub-books — ship in the task closure and every partition
+  runs matrix argmins locally. Zero exchange, n rows in / n rows out; the
+  declarative crossJoin+window forms are kept behind ``impl="sql"`` for
+  expression parity with SQL oracles (the clustering.assign_cells pattern);
 - sub-codebook training reuses :func:`clustering.kmeans_train` per
-  subspace over ``F.slice``-ed residuals — broadcast-assign + groupBy
+  subspace over ``F.slice``-ed residuals — broadcast-assign + partial-sum
   recompute, the vectors themselves never shuffle;
 - codes are plain int columns (``code_0..code_{nsq-1}``) — columnar,
   ``nsq`` bytes/vector in parquet, the IVFADC storage layout;
-- the ADC distance table is a *derived tiny DataFrame* (queries x nprobe
-  x nsq x ks rows) broadcast against the candidate codes; the per-subspace
-  distances are summed in a FIXED expression order (d_0 + d_1 + ...), so
-  the result is bit-deterministic and oracle-mirrorable (no float
-  aggregation-order dependence).
+- ADC scoring has two shapes: :func:`adc_topk` (joins against broadcast
+  distance-table DataFrames — fully declarative, oracle-mirrorable) and
+  :func:`adc_topk_gather` (the scale path: distance tables precomputed
+  driver-side from query metadata only and shipped in the closure, ONE
+  mapInArrow scan over the cell-partitioned codes with per-task top-k,
+  then a tiny final merge — the SearchEngine.cpp:148-198 loop shape).
 
 At 100 TB the candidate side stays fully distributed: codes live with the
-vectors, every join against them broadcasts query-side metadata only, and
-the scored stream reduces through one per-query top-k window.
+vectors (cell-partitioned parquet -> probing nprobe cells is partition
+pruning), and everything query-sized rides a broadcast or a closure.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ivfadc_spark.operators.clustering import kmeans_train
+from ivfadc_spark.operators.clustering import (
+    _list_matrix,
+    _round_half_up,
+    kmeans_train,
+)
 
 
 def l2sq(a: str = "a", b: str = "b"):
@@ -48,18 +60,107 @@ def l2sq(a: str = "a", b: str = "b"):
     )
 
 
-def coarse_assign(vecs: DataFrame, centroids_pdf: pd.DataFrame) -> DataFrame:
-    """(vec_id, v) -> (vec_id, v, cell, r): ALL cells ranked by L2 asc (tie
+def _fold_l2(q: "np.ndarray", c: "np.ndarray") -> float:
+    """Driver-side sequential-fold squared L2 — the SAME left-to-right float
+    order as :func:`l2sq` / DuckDB's list fold, so distance tables computed
+    on the driver are bit-identical to the declarative form. Only ever runs
+    on query-sized metadata (nq x nprobe x nsq x ks x m elements)."""
+    acc = 0.0
+    for x, y in zip(q.tolist(), c.tolist()):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def _books_matrices(books: list[pd.DataFrame]):
+    """-> list of (code_ids int32[ks], C float64[ks, m]) per subspace,
+    rows sorted by code id so row order == code order (argmin ties pick the
+    lowest code, matching ORDER BY _d ASC, code ASC)."""
+    out = []
+    for book in books:
+        b = book.sort_values("cell")
+        ids = b["cell"].to_numpy(np.int32)
+        C = np.stack([np.asarray(x, dtype=np.float64) for x in b["b"]])
+        out.append((ids, C))
+    return out
+
+
+def coarse_assign(
+    vecs: DataFrame,
+    centroids_pdf: pd.DataFrame,
+    nprobe: int | None = None,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, cell, b, r): cells ranked by L2 asc (tie
     cell asc). r == 1 is the storage assignment; r <= nprobe drives probes.
-    Broadcast codebook + window argmin — the J2 theta-join shape."""
-    spark = vecs.sparkSession
-    cent = spark.createDataFrame(centroids_pdf, schema="cell int, b array<double>")
-    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cell"))
-    return (
-        vecs.crossJoin(F.broadcast(cent))
-        .withColumn("_d", l2sq("v", "b"))
-        .withColumn("r", F.row_number().over(w))
-        .select("vec_id", "v", "cell", "b", "r")
+
+    impl="arrow" (default): the (k x d) coarse codebook ships in the task
+    closure and each partition ranks its vectors with one matrix product —
+    zero exchange, n rows in, n*nprobe rows out (``nprobe`` defaults to ALL
+    cells only under impl="sql"; the arrow kernel requires an explicit
+    bound so the output stays O(n), not O(n*k)). impl="sql" keeps the
+    crossJoin+window form — that plan exchanges n*k rows through a window
+    sort, which at 100x the data IS the encode cost; retained only for
+    expression parity with SQL oracles (the clustering.assign_cells
+    pattern, clustering.py:62-130)."""
+    if impl == "sql":
+        spark = vecs.sparkSession
+        cent = spark.createDataFrame(centroids_pdf, schema="cell int, b array<double>")
+        w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cell"))
+        out = (
+            vecs.crossJoin(F.broadcast(cent))
+            .withColumn("_d", l2sq("v", "b"))
+            .withColumn("r", F.row_number().over(w))
+            .select("vec_id", "v", "cell", "b", "r")
+        )
+        return out.filter(F.col("r") <= nprobe) if nprobe else out
+
+    if not nprobe:
+        raise ValueError("coarse_assign(impl='arrow') needs an explicit nprobe")
+    cent = centroids_pdf.sort_values("cell")
+    cell_ids = cent["cell"].to_numpy(np.int32)
+    C = np.stack([np.asarray(b, dtype=np.float64) for b in cent["b"]])
+    p = min(int(nprobe), C.shape[0])
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        c2 = (C * C).sum(axis=1)
+        M = C.T
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            V = _list_matrix(tbl.column("v"))
+            # per-row ranking: |v|^2 is constant per row, so ordering by
+            # c2 - 2 v.c == ordering by full L2; stable sort -> ties pick
+            # the lowest cell id (rows are in cell order)
+            D = c2[None, :] - 2.0 * (V @ M)
+            order = np.argsort(D, axis=1, kind="stable")[:, :p]
+            n = V.shape[0]
+            rep = np.repeat(np.arange(n), p)
+            cells = cell_ids[order.ravel()]
+            vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            out = pa.Table.from_arrays(
+                [
+                    pa.array(vid[rep], type=pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(n * p + 1) * V.shape[1], type=pa.int32()),
+                        pa.array(V[rep].ravel(), type=pa.float64()),
+                    ),
+                    pa.array(cells, type=pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(n * p + 1) * C.shape[1], type=pa.int32()),
+                        pa.array(C[order.ravel()].ravel(), type=pa.float64()),
+                    ),
+                    pa.array(np.tile(np.arange(1, p + 1, dtype=np.int32), n)),
+                ],
+                names=["vec_id", "v", "cell", "b", "r"],
+            )
+            yield from out.to_batches()
+
+    return vecs.select("vec_id", "v").mapInArrow(
+        kernel, "vec_id long, v array<double>, cell int, b array<double>, r int"
     )
 
 
@@ -98,28 +199,63 @@ def train_pq(
     return books
 
 
-def encode_pq(res: DataFrame, books: list[pd.DataFrame], dim: int) -> DataFrame:
+def encode_pq(
+    res: DataFrame, books: list[pd.DataFrame], dim: int, impl: str = "arrow"
+) -> DataFrame:
     """(vec_id, cell, rr) -> (vec_id, cell, code_0..code_{nsq-1}): nearest
     sub-centroid per subspace (L2 asc, code asc). The vector's stored form
-    is cell + nsq small ints — the IVFADC compressed row."""
-    spark = res.sparkSession
+    is cell + nsq small ints — the IVFADC compressed row.
+
+    impl="arrow" (default): ONE mapInArrow pass computes all ``nsq``
+    sub-argmins — the codebooks (nsq x ks x d/nsq, tiny) live in the task
+    closure, so the bulk encode of an embedding corpus is a single scan
+    with zero exchange (the Index.cpp:73-83 per-vector loop, vectorized).
+    impl="sql" keeps the per-subspace crossJoin+window chain (n x ks rows
+    through a window sort, nsq times) — oracle expression parity only."""
     nsq = len(books)
     m = dim // nsq
-    out = res.select("vec_id", "cell", "rr")
-    for s, book in enumerate(books):
-        cent = spark.createDataFrame(book, schema="cell int, b array<double>")
-        cent = cent.select(F.col("cell").alias("_j"), F.col("b").alias("_b"))
-        w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("_j"))
-        code = (
-            out.select("vec_id", F.slice("rr", s * m + 1, m).alias("_rs"))
-            .crossJoin(F.broadcast(cent))
-            .withColumn("_d", l2sq("_rs", "_b"))
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("vec_id", F.col("_j").alias(f"code_{s}"))
-        )
-        out = out.join(code, "vec_id")
-    return out.drop("rr")
+    if impl == "sql":
+        spark = res.sparkSession
+        out = res.select("vec_id", "cell", "rr")
+        for s, book in enumerate(books):
+            cent = spark.createDataFrame(book, schema="cell int, b array<double>")
+            cent = cent.select(F.col("cell").alias("_j"), F.col("b").alias("_b"))
+            w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("_j"))
+            code = (
+                out.select("vec_id", F.slice("rr", s * m + 1, m).alias("_rs"))
+                .crossJoin(F.broadcast(cent))
+                .withColumn("_d", l2sq("_rs", "_b"))
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("vec_id", F.col("_j").alias(f"code_{s}"))
+            )
+            out = out.join(code, "vec_id")
+        return out.drop("rr")
+
+    mats = _books_matrices(books)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        pre = [((C * C).sum(axis=1), C.T) for _, C in mats]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            R = _list_matrix(tbl.column("rr"))
+            cols = [tbl.column("vec_id"), tbl.column("cell")]
+            names = ["vec_id", "cell"]
+            for s, ((ids, _), (c2, Mt)) in enumerate(zip(mats, pre)):
+                Rs = R[:, s * m:(s + 1) * m]
+                best = np.argmin(c2[None, :] - 2.0 * (Rs @ Mt), axis=1)
+                cols.append(pa.array(ids[best], type=pa.int32()))
+                names.append(f"code_{s}")
+            yield from pa.Table.from_arrays(cols, names=names).to_batches()
+
+    schema = "vec_id long, cell int, " + ", ".join(
+        f"code_{s} int" for s in range(nsq)
+    )
+    return res.select("vec_id", "cell", "rr").mapInArrow(kernel, schema)
 
 
 def write_pq_index(
@@ -171,6 +307,7 @@ def adc_topk(
     dim: int,
     k: int,
     round_decimals: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC scoring (SearchEngine.cpp:170-184): per (query, probed cell)
     build the (nsq x ks) exact distance table from the query residual, then
@@ -179,7 +316,12 @@ def adc_topk(
     probes: (query_id, cell, qrr) — one row per probed cell, qrr = query
     residual AGAINST THAT CELL's centroid. codes: output of encode_pq.
     Returns (query_id, rank, cand_id, adc): top-k by adc ASC, tie cand ASC.
-    """
+
+    ``exclude_self`` drops candidates whose vec_id equals the query_id —
+    the self-query fixture semantics. It assumes query ids share the stored
+    vectors' id namespace; pass ``exclude_self=False`` for external query
+    ids (an id that coincidentally collides with a vec_id would otherwise
+    silently lose a valid nearest candidate)."""
     nsq = len(books)
     m = dim // nsq
     spark = probes.sparkSession
@@ -187,7 +329,9 @@ def adc_topk(
         codes.select(F.col("vec_id").alias("cand_id"), "cell",
                      *[f"code_{s}" for s in range(nsq)]),
         "cell",
-    ).filter(F.col("query_id") != F.col("cand_id"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("cand_id"))
     for s, book in enumerate(books):
         cent = spark.createDataFrame(book, schema="cell int, b array<double>")
         dt = (
@@ -206,6 +350,140 @@ def adc_topk(
     return (
         scored.withColumn("adc", F.round(adc, round_decimals))
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"). alias("rank"),
+                "cand_id", "adc")
+    )
+
+
+def adc_topk_gather(
+    probes_pdf: pd.DataFrame,
+    codes: DataFrame,
+    books: list[pd.DataFrame],
+    dim: int,
+    k: int,
+    round_decimals: int = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Single-pass ADC over (persisted) cell-partitioned codes — the scale
+    shape of :func:`adc_topk` (/root/reference/SearchEngine.cpp:148-198:
+    per-cell distance table, then one linear gather over the cell's codes).
+
+    ``probes_pdf``: driver-side (query_id, cell, qrr) — QUERY metadata only
+    (nq x nprobe rows), the batch-broker pattern of bm25_topk_batch. The
+    (nq*nprobe, nsq, ks) distance tables are computed ON THE DRIVER with
+    the same sequential-fold float order as the SQL form (bit-identical),
+    then shipped in the task closure. The codes frame is filtered to the
+    probed cells (partition pruning on the persisted layout) and scanned
+    EXACTLY ONCE by a mapInArrow kernel that scores every (probing query,
+    candidate) pair with nsq table gathers and keeps a per-task top-k; the
+    final merge ranks tasks x nq x k rows — query-sized, never data-sized.
+
+    Exactness: per-task top-k by (rounded adc, cand_id) is a monotone merge
+    — the global top-k is a subset of the per-task top-ks."""
+    nsq = len(books)
+    m = dim // nsq
+    spark = codes.sparkSession
+
+    # driver-side distance tables: dt[(cell)][q, s, code] exact-fold floats
+    pb = probes_pdf.reset_index(drop=True)
+    qids = pb["query_id"].to_numpy(np.int64)
+    pcells = pb["cell"].to_numpy(np.int64)
+    mats = _books_matrices(books)
+    ks_max = max(int(ids.max()) + 1 for ids, _ in mats)
+    dt = np.full((len(pb), nsq, ks_max), np.inf, dtype=np.float64)
+    for i, qrr in enumerate(pb["qrr"]):
+        q = np.asarray(qrr, dtype=np.float64)
+        for s, (ids, C) in enumerate(mats):
+            qs = q[s * m:(s + 1) * m]
+            for j, cid in enumerate(ids):
+                dt[i, s, int(cid)] = _fold_l2(qs, C[j])
+    # group probe rows by cell for the kernel's per-cell lookup
+    by_cell: dict[int, np.ndarray] = {
+        int(c): np.flatnonzero(pcells == c) for c in np.unique(pcells)
+    }
+    probed = sorted(by_cell)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        # per-query running top-k across the task's batches
+        best: dict[int, list] = {}
+
+        def push(qi, adcs, cands):
+            cur = best.get(qi)
+            if cur is None:
+                cur = best[qi] = [adcs, cands]
+            else:
+                cur[0] = np.concatenate([cur[0], adcs])
+                cur[1] = np.concatenate([cur[1], cands])
+            if cur[0].size > 4 * k:  # compact: keep the k smallest
+                o = np.lexsort((cur[1], cur[0]))[:k]
+                cur[0], cur[1] = cur[0][o], cur[1][o]
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            cells = tbl.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+            vids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            code_mat = np.stack(
+                [
+                    tbl.column(f"code_{s}").to_numpy(zero_copy_only=False).astype(np.int64)
+                    for s in range(nsq)
+                ],
+                axis=1,
+            )
+            for c in np.unique(cells):
+                pidx = by_cell.get(int(c))
+                if pidx is None:
+                    continue
+                sel = cells == c
+                cv, cm = vids[sel], code_mat[sel]
+                for i in pidx:
+                    # nsq gathers + fixed-order sum (d0 + d1 + ...)
+                    adc = dt[i, 0][cm[:, 0]]
+                    for s in range(1, nsq):
+                        adc = adc + dt[i, s][cm[:, s]]
+                    cand = cv
+                    if exclude_self:
+                        keep = cand != qids[i]
+                        adc, cand = adc[keep], cand[keep]
+                    if adc.size == 0:
+                        continue
+                    adc = _round_half_up(adc, round_decimals)
+                    if adc.size > k:
+                        o = np.lexsort((cand, adc))[:k]
+                        adc, cand = adc[o], cand[o]
+                    push(int(i), adc, cand)
+        if not best:
+            return
+        out_q, out_c, out_a = [], [], []
+        for i, (adcs, cands) in best.items():
+            o = np.lexsort((cands, adcs))[:k]
+            out_q.append(np.full(o.size, qids[i], dtype=np.int64))
+            out_c.append(cands[o])
+            out_a.append(adcs[o])
+        out = pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q), type=pa.int64()),
+                pa.array(np.concatenate(out_c), type=pa.int64()),
+                pa.array(np.concatenate(out_a), type=pa.float64()),
+            ],
+            names=["query_id", "cand_id", "adc"],
+        )
+        yield from out.to_batches()
+
+    cand = codes.filter(F.col("cell").isin([int(c) for c in probed])).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        *[F.col(f"code_{s}").cast("int").alias(f"code_{s}") for s in range(nsq)],
+    )
+    partial = cand.mapInArrow(kernel, "query_id long, cand_id long, adc double")
+    # final merge: tasks x nq x k rows — tiny
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "cand_id", "adc")

@@ -207,6 +207,20 @@ class SegmentSet:
             # range, not the whole union's.
             self.salt_offsets.append(salt_acc)
             salt_acc += max(n_sh, 1)
+        # rebased salts live in an int32 column: the build guards pid < 2^19
+        # to keep one segment's salts inside int32, but cumulative rebasing
+        # across members must re-check — a silent wrap would collide shards
+        # and break the batch kernel's doc-sorted binary-search invariant.
+        # (merge_segments goes through this constructor, so one guard covers
+        # both the federation and the compaction rebase.)
+        from ivfadc_spark.operators.postings import SALT_CHUNK_SPAN
+
+        if salt_acc * SALT_CHUNK_SPAN > 2**31:
+            raise ValueError(
+                f"SegmentSet: {salt_acc} cumulative shards x span "
+                f"{SALT_CHUNK_SPAN} overflows int32 salts — merge members "
+                "first or raise the salt dtype"
+            )
         self.meta = {
             "n_docs": int(n_docs),
             "avgdl": (tokens / n_docs) if n_docs else 0.0,
@@ -429,7 +443,13 @@ def merge_segments(
         # the layout contract (doc_shards, term_buckets, k1, b) comes from
         # the INPUT segments — SegmentSet enforced their consistency
         "config": ss.meta["config"] or json.loads(cfg.to_json()),
-        "format_version": 2,
+        # versioned from the members: 3 as soon as ANY member's blocks are
+        # dl-free (v3) — merged output carries those blocks verbatim, so the
+        # label must describe the block layout actually present. Consumers
+        # key off n_shards / doc_lens, but the stamp should not lie.
+        "format_version": max(
+            int(s.meta.get("format_version", 2)) for s in ss.segments
+        ),
     }
     with open(os.path.join(out_path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)

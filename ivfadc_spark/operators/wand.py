@@ -354,9 +354,24 @@ def bm25_topk_batch(
                 s_base = np.where(s_starts > 0, sc[s_starts - 1], 0)
                 s_ids = sc - np.repeat(s_base, s_counts)
                 lo_id = int(s_ids.min())
-                norm = np.empty(int(s_ids.max()) - lo_id + 1, dtype=np.float64)
+                # NaN-initialized so a posting doc id NOT covered by the
+                # sentinel table (corrupt / partially-filtered segment)
+                # raises instead of gathering uninitialized garbage; ids
+                # below lo_id would index negatively — checked explicitly.
+                norm = np.full(int(s_ids.max()) - lo_id + 1, np.nan, dtype=np.float64)
                 norm[s_ids - lo_id] = k1 * (1.0 - b + b * s_dl / avgdl)
-                denom = norm[all_ids - lo_id]
+                gidx = all_ids - lo_id
+                if gidx.size and (int(gidx.min()) < 0 or int(gidx.max()) >= norm.size):
+                    raise ValueError(
+                        "bm25_topk_batch: posting doc_id outside the shard's "
+                        "sentinel doc-stats range — segment is corrupt"
+                    )
+                denom = norm[gidx]
+                if np.isnan(denom).any():
+                    raise ValueError(
+                        "bm25_topk_batch: posting doc_id missing from the "
+                        "sentinel doc-stats table — segment is corrupt"
+                    )
             all_imp = (tf * (k1 + 1.0)) / (tf + denom)
             # multi-query vectorized MaxScore TAAT, processed in ROUNDS of
             # descending per-query term upper bound (ub = idf * max block
@@ -413,6 +428,12 @@ def bm25_topk_batch(
             round_j = np.arange(qt_ids.size) - np.repeat(q_first, q_sizes)
             cs_ub = np.cumsum(ubs_j)
             R_after = np.repeat(cs_ub[qb - 1], q_sizes) - cs_ub
+            # cumsum differences are NOT exact suffix sums: cancellation can
+            # understate the remaining-terms bound by ~n*eps*|cs|, and the
+            # pruning argument needs R to be a CERTIFIED upper bound. For
+            # nonnegative ubs the cumsum error at any index is bounded by
+            # n*eps*cs[-1]; inflating by twice that keeps R >= true suffix.
+            R_after += 2.0 * np.finfo(np.float64).eps * qt_ids.size * float(cs_ub[-1])
             edges, base = [0], 0
             while edges[-1] < qt_ids.size:
                 j = int(np.searchsorted(csum[qb - 1], base + chunk_target))

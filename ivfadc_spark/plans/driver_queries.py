@@ -974,7 +974,7 @@ def q_knn_ivf_adc(spark, sf_dir):
         .toPandas()
     )
     coarse["b"] = [list(map(float, x)) for x in coarse["b"]]
-    ranked = pq.coarse_assign(e, coarse)
+    ranked = pq.coarse_assign(e, coarse, nprobe=_IVF_NPROBE)
     res = pq.residuals(ranked.filter(F.col("r") == 1))
     books = pq.train_pq(res, _PQ_DIM, _PQ_NSQ, _PQ_KS, _PQ_ITERS)
     codes = pq.encode_pq(res, books, _PQ_DIM)
@@ -987,6 +987,54 @@ def q_knn_ivf_adc(spark, sf_dir):
         )
     )
     return pq.adc_topk(probes, codes, books, _PQ_DIM, k=5)
+
+
+_PQ_INDEX_CACHE: dict = {}
+
+
+def q_knn_ivf_adc_persisted(spark, sf_dir):
+    """The IVFADC index PERSISTED then queried the scale way: codes written
+    as cell-partitioned parquet + codebook sidecar (write_pq_index — the
+    reference's segment directory, Index.cpp:9-11), reloaded, and answered
+    by a SINGLE mapInArrow scan over the probed cells' partitions with the
+    ADC distance tables precomputed driver-side from query metadata and
+    shipped in the closure (adc_topk_gather — the SearchEngine.cpp:148-198
+    per-cell gather loop). Same oracle as knn_ivf_adc: the persisted
+    round-trip plus the one-pass gather must reproduce the declarative
+    join-shape result exactly."""
+    import os
+    import tempfile
+
+    from ivfadc_spark.operators import pq
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    coarse = (
+        e.filter(F.col("vec_id") < _IVF_NCENTROIDS)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("b"))
+        .toPandas()
+    )
+    coarse["b"] = [list(map(float, x)) for x in coarse["b"]]
+    ranked = pq.coarse_assign(e, coarse, nprobe=_IVF_NPROBE)
+    if sf_dir not in _PQ_INDEX_CACHE:
+        res = pq.residuals(ranked.filter(F.col("r") == 1))
+        books = pq.train_pq(res, _PQ_DIM, _PQ_NSQ, _PQ_KS, _PQ_ITERS)
+        codes = pq.encode_pq(res, books, _PQ_DIM)
+        out = tempfile.mkdtemp(prefix="ivfadc_pqidx_")
+        pq.write_pq_index(out, codes, books, coarse)
+        _PQ_INDEX_CACHE[sf_dir] = out
+    codes2, books2, _ = pq.load_pq_index(spark, _PQ_INDEX_CACHE[sf_dir])
+    probes_pdf = (
+        ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            F.zip_with("v", "b", lambda x, y: x - y).alias("qrr"),
+        )
+        .toPandas()  # query metadata only: nq x nprobe rows
+    )
+    return pq.adc_topk_gather(probes_pdf, codes2, books2, _PQ_DIM, k=5)
 
 
 # ---------------------------------------------------------------- oracles
@@ -1519,6 +1567,9 @@ SELECT query_id, rank::INT AS rank, cand_id, adc FROM (
 
 
 ORACLES["knn_ivf_adc"] = _pq_adc_oracle_sql()
+# the persisted + single-pass-gather path must reproduce the declarative
+# result EXACTLY — same oracle, so any round-trip or gather drift mismatches
+ORACLES["knn_ivf_adc_persisted"] = _pq_adc_oracle_sql()
 
 # config_source: the same BM25 truth with the PARSED knobs as literals
 # (k1=1.4, b=0.6, top 7 — any parse/plumbing break mismatches)
@@ -1605,6 +1656,7 @@ QUERIES = {
     "knn_ivf_probe": q_knn_ivf,
     "knn_ivf_trained": q_knn_ivf_trained,
     "knn_ivf_adc": q_knn_ivf_adc,
+    "knn_ivf_adc_persisted": q_knn_ivf_adc_persisted,
     "config_source": q_config_source,
     "multi_segment_batch": q_multi_segment_batch,
     "kmeans_recompute": q_kmeans_recompute,

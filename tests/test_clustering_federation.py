@@ -247,7 +247,7 @@ def test_pq_adc_equals_reconstruction(spark):
     coarse = pd.DataFrame(
         {"cell": np.arange(4, dtype=np.int32), "b": [list(map(float, r)) for r in vecs_np[:4]]}
     )
-    ranked = pq.coarse_assign(e, coarse)
+    ranked = pq.coarse_assign(e, coarse, nprobe=2)
     res = pq.residuals(ranked.filter(F.col("r") == 1))
     books = pq.train_pq(res, dim, nsq, ks, iters=2)
     codes = pq.encode_pq(res, books, dim)
@@ -348,7 +348,7 @@ def test_pq_index_roundtrip(spark, tmp_path):
     coarse = pd.DataFrame(
         {"cell": np.arange(4, dtype=np.int32), "b": [list(map(float, r)) for r in vecs_np[:4]]}
     )
-    ranked = pq.coarse_assign(e, coarse)
+    ranked = pq.coarse_assign(e, coarse, nprobe=2)
     res = pq.residuals(ranked.filter(F.col("r") == 1))
     books = pq.train_pq(res, dim, nsq, ks, iters=1)
     codes = pq.encode_pq(res, books, dim)
@@ -368,3 +368,118 @@ def test_pq_index_roundtrip(spark, tmp_path):
     got = pq.adc_topk(probes, pruned, books2, dim, k=5).orderBy("query_id", "rank").toPandas()
     assert list(got["cand_id"]) == list(want["cand_id"])
     np.testing.assert_allclose(got["adc"], want["adc"], atol=1e-9)
+
+
+def test_pq_arrow_impl_matches_sql_impl(spark):
+    """coarse_assign / encode_pq impl='arrow' (one mapInArrow pass, zero
+    exchange) must reproduce impl='sql' (crossJoin+window) exactly — the
+    scale kernel and the oracle-parity form are the same function."""
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.operators import pq
+
+    rng = np.random.default_rng(7)
+    dim, nsq, ks = 16, 4, 4
+    vecs_np = rng.normal(size=(150, dim)).round(3)
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(150), "v": [list(map(float, r)) for r in vecs_np]}),
+        schema="vec_id long, v array<double>",
+    )
+    coarse = pd.DataFrame(
+        {"cell": np.arange(5, dtype=np.int32), "b": [list(map(float, r)) for r in vecs_np[:5]]}
+    )
+    a = (
+        pq.coarse_assign(e, coarse, nprobe=3, impl="arrow")
+        .orderBy("vec_id", "r").toPandas()
+    )
+    s = (
+        pq.coarse_assign(e, coarse, nprobe=3, impl="sql")
+        .orderBy("vec_id", "r").toPandas()
+    )
+    assert list(a["vec_id"]) == list(s["vec_id"])
+    assert list(a["cell"]) == list(s["cell"])
+    assert list(a["r"]) == list(s["r"])
+    for va, vs in zip(a["v"], s["v"]):
+        assert list(va) == list(vs)
+    for ba, bs in zip(a["b"], s["b"]):
+        assert list(ba) == list(bs)
+
+    res = pq.residuals(
+        pq.coarse_assign(e, coarse, nprobe=1, impl="arrow").filter(F.col("r") == 1)
+    )
+    books = pq.train_pq(res, dim, nsq, ks, iters=1)
+    ca = pq.encode_pq(res, books, dim, impl="arrow").orderBy("vec_id").toPandas()
+    cs = pq.encode_pq(res, books, dim, impl="sql").orderBy("vec_id").toPandas()
+    for col in ["vec_id", "cell"] + [f"code_{i}" for i in range(nsq)]:
+        assert list(ca[col]) == list(cs[col]), col
+
+
+def test_adc_topk_gather_matches_join_shape(spark, tmp_path):
+    """Single-pass gather over the PERSISTED cell-partitioned codes ==
+    the declarative broadcast-join adc_topk, including rounded scores and
+    rank tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.operators import pq
+
+    rng = np.random.default_rng(9)
+    dim, nsq, ks = 16, 4, 4
+    vecs_np = rng.normal(size=(130, dim)).round(3)
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(130), "v": [list(map(float, r)) for r in vecs_np]}),
+        schema="vec_id long, v array<double>",
+    )
+    coarse = pd.DataFrame(
+        {"cell": np.arange(4, dtype=np.int32), "b": [list(map(float, r)) for r in vecs_np[:4]]}
+    )
+    ranked = pq.coarse_assign(e, coarse, nprobe=2)
+    res = pq.residuals(ranked.filter(F.col("r") == 1))
+    books = pq.train_pq(res, dim, nsq, ks, iters=1)
+    codes = pq.encode_pq(res, books, dim)
+    probes = ranked.filter((F.col("r") <= 2) & (F.col("vec_id") % 20 == 3)).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.zip_with("v", "b", lambda x, y: x - y).alias("qrr"),
+    )
+    want = pq.adc_topk(probes, codes, books, dim, k=5).orderBy("query_id", "rank").toPandas()
+
+    pq.write_pq_index(str(tmp_path / "pqidx"), codes, books, coarse)
+    codes2, books2, _ = pq.load_pq_index(spark, str(tmp_path / "pqidx"))
+    got = (
+        pq.adc_topk_gather(probes.toPandas(), codes2, books2, dim, k=5)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["cand_id"]) == list(want["cand_id"])
+    assert list(got["rank"]) == list(want["rank"])
+    np.testing.assert_allclose(got["adc"], want["adc"], atol=0)  # bit-equal
+
+
+def test_recompute_centroids_half_up_rounding(spark):
+    """Exact-half means must round HALF_UP in BOTH impls (numpy's default
+    banker's rounding would send 5e-07 -> 0.0 at 6 decimals; Spark F.round
+    and DuckDB send it to 1e-06). Adversarial fixture: every mean lands
+    exactly on a half."""
+    from ivfadc_spark.operators.clustering import recompute_centroids
+
+    # two members per cell whose mean is exactly 5e-07 / 1.5e-06 / 2.5e-06:
+    # halves at 6 decimals; banker's would round the 1st and 3rd DOWN
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "cell": [0, 0, 1, 1],
+            "v": [
+                [0.000001, 0.000003, 0.000005],
+                [0.0, 0.0, 0.0],
+                [0.000002, 0.000001, 0.000004],
+                [0.000003, 0.000002, 0.000001],
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, cell int, v array<double>")
+    ca, _ = recompute_centroids(df, round_decimals=6, impl="arrow")
+    cs, _ = recompute_centroids(df, round_decimals=6, impl="sql")
+    ca = ca.sort_values("cell").reset_index(drop=True)
+    cs = cs.sort_values("cell").reset_index(drop=True)
+    assert [list(b) for b in ca["b"]] == [list(b) for b in cs["b"]]
+    # the halves went UP
+    assert list(ca["b"][0]) == [1e-06, 2e-06, 3e-06]
