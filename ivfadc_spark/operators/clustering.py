@@ -17,8 +17,9 @@ iteration boundary, so the fixpoint does not depend on float summation order
 (Spark partial aggregation vs any oracle's sequential sum) — the property
 the driver-contract ``kmeans_train`` entry relies on. Seeding is
 deterministic: ``first`` takes the k lowest vec_ids (the contract fixture);
-``farthest`` is the deterministic k-center sweep standing in for the
-reference's random kmeans++ restarts.
+``farthest`` is the deterministic SAMPLED k-center sweep (hash-ordered
+T=10,000 sample, one Spark job, numpy sweep on the driver) standing in for
+the reference's random kmeans++ restarts over its own 10k-point sample.
 """
 
 from __future__ import annotations
@@ -251,30 +252,61 @@ def seed_first_k(vecs: DataFrame, k: int) -> pd.DataFrame:
     return pdf
 
 
-def seed_farthest(vecs: DataFrame, k: int, metric: str = "cosine") -> pd.DataFrame:
-    """Deterministic k-center sweep: start from the lowest vec_id, then
-    repeatedly add the vector farthest from its nearest chosen seed (ties by
-    vec_id). Deterministic stand-in for the reference's random kmeans++
-    restarts (/root/reference/Clustering.h:96-120)."""
-    seeds = seed_first_k(vecs, 1)
-    spark = vecs.sparkSession
-    for i in range(1, k):
-        scorer = _cosine("v", "b") if metric == "cosine" else _neg_l2sq("v", "b")
-        cent = spark.createDataFrame(seeds, schema="cell int, b array<double>")
-        worst = (
-            vecs.crossJoin(F.broadcast(cent))
-            .withColumn("_sim", scorer)
-            .groupBy("vec_id", "v")
-            .agg(F.max("_sim").alias("best"))
-            .orderBy(F.asc("best"), F.asc("vec_id"))
-            .limit(1)
-            .toPandas()
+def seed_farthest(
+    vecs: DataFrame, k: int, metric: str = "cosine", sample_size: int = 10_000
+) -> pd.DataFrame:
+    """Deterministic SAMPLED k-center sweep — the corpus-scale seeding.
+
+    The reference trains its quantizer on T=10,000 sampled points
+    (/root/reference/main.cpp:42); likewise: ONE Spark job pulls a
+    deterministic hash-ordered sample of ``sample_size`` vectors to the
+    driver (T x d, tiny), and the farthest-point sweep runs in numpy —
+    start from the lowest vec_id, repeatedly add the sampled vector
+    farthest from its nearest chosen seed (ties by vec_id). The previous
+    form ran k sequential FULL scans of the corpus; this is one
+    TakeOrdered job regardless of k. Deterministic: the sample is ordered
+    by xxhash64(vec_id) (data-derived, partitioning-independent), not by a
+    seeded RNG over a physical layout."""
+    sub = (
+        vecs.select("vec_id", "v")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(int(sample_size))
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    V = np.stack([np.asarray(x, dtype=np.float64) for x in sub["v"]])
+    vid = sub["vec_id"].to_numpy(np.int64)
+    # always include the globally lowest vec_id as the first seed (the
+    # deterministic anchor the unsampled sweep used)
+    first = seed_first_k(vecs, 1)
+    b0 = np.asarray(first["b"].iloc[0], dtype=np.float64)
+    if metric == "cosine":
+        Vn = V / np.where(
+            (n := np.linalg.norm(V, axis=1))[:, None] == 0.0, 1.0, n[:, None]
         )
-        seeds = pd.concat(
-            [seeds, pd.DataFrame({"cell": [i], "b": [list(worst["v"].iloc[0])]})],
-            ignore_index=True,
-        )
-    return seeds
+
+        def sim_to(c):
+            cn = np.linalg.norm(c)
+            return Vn @ (c / (cn if cn else 1.0))
+    else:
+
+        def sim_to(c):
+            d = V - c[None, :]
+            return -(d * d).sum(axis=1)
+
+    best = sim_to(b0)
+    seeds = [b0]
+    for _ in range(1, k):
+        # farthest = minimum similarity to the nearest seed; ties by vec_id
+        # (lexsort: primary best asc, secondary vec_id asc)
+        j = int(np.lexsort((vid, best))[0])
+        c = V[j]
+        seeds.append(c)
+        best = np.maximum(best, sim_to(c))
+    return pd.DataFrame(
+        {"cell": np.arange(k, dtype=np.int32), "b": [list(map(float, s)) for s in seeds]}
+    )
 
 
 def kmeans_train(

@@ -26,9 +26,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ivfadc_spark.config import DEFAULT, EngineConfig
-from ivfadc_spark.operators.segments import Segment
+from ivfadc_spark.operators.segments import Segment, SegmentSet
 
 PHRASE_RESULT_SCHEMA = "query_id long, rank int, doc_id long, n_occ long"
+
+
+def _member_positions(segment: Segment, buckets, terms) -> DataFrame:
+    """One segment's (term, doc_id, positions) for the probed terms, from
+    its sidecar if present else its fused positional twin rows; doc ids are
+    SEGMENT-LOCAL (callers shift by doc_base for federation)."""
+    spark = segment.spark
+    pos_path = os.path.join(segment.path, "positions")
+    if os.path.exists(pos_path):
+        return spark.read.parquet(pos_path).filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("term", "doc_id", "positions")
+    if bool(int(segment.meta["config"].get("with_positions", 0) or 0)):
+        # fused build: positional twin rows (block_id <= -10) live in the
+        # blocks dataset under the same term_bucket layout — identical
+        # partition pruning, zero extra corpus passes at build time
+        from ivfadc_spark.operators.postings import decode_position_rows
+
+        twin = segment.raw_blocks.filter(
+            (F.col("block_id") <= -10)
+            & F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(terms)
+        )
+        return decode_position_rows(twin).select("term", "doc_id", "positions")
+    raise ValueError(
+        f"phrase_topk: segment {segment.path} has neither a positions "
+        "sidecar (build_positions) nor fused positional rows "
+        "(cfg.with_positions=1 at build time)"
+    )
 
 
 def doc_term_positions(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -136,22 +165,18 @@ def phrase_topk(
     an IN-filter + term_bucket prune -> conjunctive prefilter JVM-side (a
     doc must contain every distinct phrase term) -> vectorized offset-list
     intersection per (query, doc): occurrence starts = ∩_j (P_j - j).
+
+    ``segment`` may be a :class:`SegmentSet`: each member contributes its
+    own positions source (sidecar or fused twin rows, independently per
+    member), doc ids shifted by the member's cumulative doc_base — the same
+    U1 offset remap federation applies to posting blocks. Phrases never
+    span documents, so the union of per-member matches IS the corpus
+    answer; only the final occurrence-count top-k sees all members.
     """
     from ivfadc_spark.functions.tokenize import tokens_col
 
     k = k or cfg.top_k
     spark = segment.spark
-    pos_path = os.path.join(segment.path, "positions")
-    has_sidecar = os.path.exists(pos_path)
-    fused = not has_sidecar and bool(
-        int(segment.meta["config"].get("with_positions", 0) or 0)
-    )
-    if not has_sidecar and not fused:
-        raise ValueError(
-            "phrase_topk: segment has neither a positions sidecar "
-            "(build_positions) nor fused positional rows "
-            "(cfg.with_positions=1 at build time)"
-        )
     n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
 
     # phrase terms with their in-phrase offsets (duplicates kept: "a b a")
@@ -175,22 +200,17 @@ def phrase_topk(
         need.setdefault(r["query_id"], []).append((r["j"], r["term"]))
     n_distinct = {q: len({t for _, t in js}) for q, js in need.items()}
 
-    if has_sidecar:
-        positions = spark.read.parquet(pos_path).filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+    if isinstance(segment, SegmentSet):
+        positions = None
+        for s, off in zip(segment.segments, segment.offsets):
+            p = _member_positions(s, buckets, terms)
+            if off:
+                p = p.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(int(off))).cast("long")
+                )
+            positions = p if positions is None else positions.unionByName(p)
     else:
-        # fused build: positional twin rows (block_id <= -10) live in the
-        # blocks dataset under the same term_bucket layout — identical
-        # partition pruning, zero extra corpus passes at build time
-        from ivfadc_spark.operators.postings import decode_position_rows
-
-        twin = segment.raw_blocks.filter(
-            (F.col("block_id") <= -10)
-            & F.col("term_bucket").isin(buckets)
-            & F.col("term").isin(terms)
-        )
-        positions = decode_position_rows(twin)
+        positions = _member_positions(segment, buckets, terms)
 
     qt_df = F.broadcast(spark.createDataFrame(qt_rows))
     cand = positions.join(qt_df, "term")

@@ -299,6 +299,31 @@ def q_multi_segment_batch(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_multi_segment_phrase(spark, sf_dir):
+    """Exact phrase search over a FEDERATED (uncompacted) corpus: two
+    independent fused-positional segments queried through a SegmentSet —
+    each member contributes its own positional twin rows, doc ids shifted
+    by the member's doc_base. A real LSM-style ingest + phrase workload
+    hits exactly this. Oracle = the same whole-corpus occurrence count."""
+    from ivfadc_spark.operators.positions import phrase_topk
+    from ivfadc_spark.operators.segments import SegmentSet
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    seg_a = _get_segment(
+        spark, sf_dir, _POS_CFG, doc_filter=(F.col("doc_id") <= half), tag="pos_half_a"
+    )
+    seg_b = _get_segment(
+        spark, sf_dir, _POS_CFG, doc_filter=(F.col("doc_id") > half), tag="pos_half_b"
+    )
+    ss = SegmentSet(spark, [seg_a.path, seg_b.path])
+    pq = spark.createDataFrame(
+        pd.DataFrame(PHRASESET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    return phrase_topk(pq, ss, k=10, cfg=_POS_CFG)
+
+
 # exact-phrase query set: frequent testdata bigrams + one OOV phrase
 PHRASESET = [
     (0, "table hash"),
@@ -1615,6 +1640,10 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+# phrase federation answers against the segment UNION; the truth is the same
+# whole-corpus occurrence count
+ORACLES["multi_segment_phrase"] = ORACLES["phrase_topk"]
+
 
 QUERIES = {
     "fulltext_tf": q_tf,
@@ -1627,6 +1656,7 @@ QUERIES = {
     "bm25_topk_batch": q_bm25_batch,
     "bm25_conjunctive_indexed": q_bm25_conjunctive_indexed,
     "multi_segment_query": q_multi_segment,
+    "multi_segment_phrase": q_multi_segment_phrase,
     "phrase_topk": q_phrase_topk,
     "doc_map_topk_join": q_doc_map_join,
     "segment_union_df": q_segment_union,

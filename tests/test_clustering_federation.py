@@ -483,3 +483,34 @@ def test_recompute_centroids_half_up_rounding(spark):
     assert [list(b) for b in ca["b"]] == [list(b) for b in cs["b"]]
     # the halves went UP
     assert list(ca["b"][0]) == [1e-06, 2e-06, 3e-06]
+
+
+def test_phrase_topk_over_segment_set(spark, tmp_path):
+    """Phrase search through a SegmentSet == over one whole-corpus segment,
+    with MIXED members: one fused-positional build, one positions sidecar —
+    each member serves its own source, doc ids shifted by doc_base."""
+    import dataclasses
+
+    from ivfadc_spark.operators.positions import build_positions, phrase_topk
+
+    cfg_f = dataclasses.replace(CFG, with_positions=1)
+    tx = synth_transcripts(spark, n_conversations=40)
+    whole = build_index(spark, tx, str(tmp_path / "pw"), cfg=cfg_f)
+    a = build_index(
+        spark, tx.filter("conv_id < 'conv-000020'"), str(tmp_path / "pa"), cfg=cfg_f
+    )
+    # member b: plain build + positions sidecar (no fused rows)
+    b = build_index(
+        spark, tx.filter("conv_id >= 'conv-000020'"), str(tmp_path / "pb"), cfg=cfg_f
+    )
+    build_positions(spark, tx.filter("conv_id >= 'conv-000020'"), b.path, cfg_f)
+    ss = SegmentSet(spark, [a.path, b.path])
+    phrases = [(0, "headterm term000"), (1, "term001 term000"), (2, "nosuch phrase")]
+    pqs = spark.createDataFrame(
+        pd.DataFrame(phrases, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    want = phrase_topk(pqs, whole, k=10, cfg=cfg_f).orderBy("query_id", "rank").toPandas()
+    got = phrase_topk(pqs, ss, k=10, cfg=cfg_f).orderBy("query_id", "rank").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
