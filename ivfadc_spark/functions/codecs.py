@@ -22,7 +22,9 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
     Fast paths: all-1-byte (values < 2^7 — tf/dl payloads almost always) is a
     single cast; all-≤2-byte (values < 2^14 — sharded docID deltas almost
-    always) is two vectorized writes. General LEB128 loop otherwise.
+    always) is two vectorized writes; all-≤3-byte (values < 2^21 — block-head
+    absolute doc ids in chunk-local ranges) is three. General LEB128 loop
+    otherwise.
     """
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = a.shape[0]
@@ -43,6 +45,23 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         out[starts] = np.where(two, lo | np.uint8(0x80), lo)
         t = np.flatnonzero(two)
         out[starts[t] + 1] = (a[t] >> _U7).astype(np.uint8)
+        return out.tobytes(), nb
+    if mx < 1 << 21:
+        nb = (
+            1
+            + (a >= np.uint64(1 << 7)).astype(np.int64)
+            + (a >= np.uint64(1 << 14)).astype(np.int64)
+        )
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nb[:-1], out=starts[1:])
+        out = np.empty(int(nb.sum()), dtype=np.uint8)
+        lo = (a & _U0x7F).astype(np.uint8)
+        out[starts] = np.where(nb > 1, lo | np.uint8(0x80), lo)
+        t2 = np.flatnonzero(nb >= 2)
+        mid = ((a[t2] >> _U7) & _U0x7F).astype(np.uint8)
+        out[starts[t2] + 1] = np.where(nb[t2] > 2, mid | np.uint8(0x80), mid)
+        t3 = np.flatnonzero(nb == 3)
+        out[starts[t3] + 2] = (a[t3] >> np.uint64(14)).astype(np.uint8)
         return out.tobytes(), nb
     return _varint_encode_general(a)
 

@@ -75,21 +75,15 @@ def doc_term_positions(docs: DataFrame, text_col: str = "text", id_col: str = "d
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from ivfadc_spark.functions.tokenize import arrow_flat_tokens
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([rb])
-            text = pc.fill_null(tbl.column(text_col), "")
-            toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
-            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-            parent = pc.list_parent_indices(toks)
-            flat = pc.list_flatten(toks)
-            keep = pc.not_equal(flat, "")
-            flat = flat.filter(keep)
-            parent = parent.filter(keep)
+            flat, par = arrow_flat_tokens(tbl.column(text_col), pattern)
             if len(flat) == 0:
                 continue
-            par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
             # 0-based offset within each doc's kept-token stream
             starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
             counts = np.diff(np.r_[starts, par.size])

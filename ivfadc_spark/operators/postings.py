@@ -349,15 +349,23 @@ def build_blocks_inplace(
                 return
             enc_t = pc.dictionary_encode(flat_all)
             enc_t = enc_t.combine_chunks() if isinstance(enc_t, pa.ChunkedArray) else enc_t
-            codes_tok = enc_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes_tok = enc_t.indices.to_numpy(zero_copy_only=False)
             vocab = enc_t.dictionary
-            # pack (term_code, row) into one int64 key: np.unique aggregates
-            # tf AND sorts postings into encoder order in a single call
+            # pack (term_code, row) into ONE key: np.unique aggregates tf AND
+            # sorts postings into encoder order in a single call. int32 keys
+            # when the bit budget fits (the common case: chunk-local rows x
+            # chunk vocab) — half the sort bandwidth of int64 on the build's
+            # hottest array (measured 23 -> 17 ms per 840k-token chunk)
             rb_bits = max(int(row_base - 1), 1).bit_length()
             cb_bits = max(len(vocab) - 1, 1).bit_length()
             tok_order = None
             if rb_bits + cb_bits <= 63:
-                keys = (codes_tok << rb_bits) | par
+                if rb_bits + cb_bits <= 31:
+                    keys = (codes_tok.astype(np.int32) << np.int32(rb_bits)) | (
+                        par.astype(np.int32)
+                    )
+                else:
+                    keys = (codes_tok.astype(np.int64) << rb_bits) | par
                 if want_pos:
                     # token-level posting order; stable keeps each posting's
                     # offsets ascending (tokens arrive in document order)
@@ -368,8 +376,8 @@ def build_blocks_inplace(
                     tf = np.diff(np.r_[starts, sk.size])
                 else:
                     uk, tf = np.unique(keys, return_counts=True)
-                code_p = uk >> rb_bits
-                row_p = uk & ((1 << rb_bits) - 1)
+                code_p = (uk >> rb_bits).astype(np.int64)
+                row_p = (uk.astype(np.int64)) & ((1 << rb_bits) - 1)
             else:  # gigantic chunk fallback: explicit 2-key sort
                 tok_order = np.lexsort((par, codes_tok))
                 ck, pk = codes_tok[tok_order], par[tok_order]
@@ -404,24 +412,17 @@ def build_blocks_inplace(
                 with_dls=False, positions=positions,
             )
 
+        from ivfadc_spark.functions.tokenize import arrow_flat_tokens
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([rb])
             if state["pid"] is None:
                 state["pid"] = int(tbl.column("_pid")[0].as_py())
-            text = pc.fill_null(tbl.column("text"), "")
-            toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
-            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-            parent = pc.list_parent_indices(toks)
-            flat = pc.list_flatten(toks)
-            keep = pc.not_equal(flat, "")
-            flat = flat.filter(keep)
+            flat, par = arrow_flat_tokens(tbl.column("text"), pattern)
             state["flats"].append(flat)
-            state["pars"].append(
-                parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
-                + state["rows"]
-            )
+            state["pars"].append(par + state["rows"])
             state["docs"].append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
             state["rows"] += rb.num_rows
             state["toks"] += len(flat)

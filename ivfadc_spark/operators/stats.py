@@ -54,10 +54,11 @@ def term_frequencies_mapside(
     :func:`term_frequencies` is pure overhead (at 10^12 turns it is the
     single largest exchange in the build: ~20T exploded token rows). This
     variant runs on raw Arrow batches (``mapInArrow``): the text never
-    becomes Python string objects — RE2 ``split_pattern_regex`` over the
-    contiguous utf8 buffer, dictionary-encode, then a single numpy
-    key-count ((row, code) keys) per batch. Output rows are identical to
-    ``term_frequencies(docs)`` joined with ``doc_lengths(docs)``.
+    becomes Python string objects — the numpy byte tokenizer (or RE2 for
+    non-default patterns; functions.tokenize.arrow_flat_tokens), then
+    dictionary-encode and a single numpy key-count ((row, code) keys) per
+    batch. Output rows are identical to ``term_frequencies(docs)`` joined
+    with ``doc_lengths(docs)``.
     """
     import numpy as np
 
@@ -72,24 +73,18 @@ def term_frequencies_mapside(
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from ivfadc_spark.functions.tokenize import arrow_flat_tokens
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([rb])
-            text = pc.fill_null(tbl.column(text_col), "")
-            toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
-            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-            parent = pc.list_parent_indices(toks)
-            flat = pc.list_flatten(toks)
-            keep = pc.not_equal(flat, "")
-            flat = flat.filter(keep)
-            parent = parent.filter(keep)
+            flat, par = arrow_flat_tokens(tbl.column(text_col), pattern)
             if len(flat) == 0:
                 continue
             enc = pc.dictionary_encode(flat)
             enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
             codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
             vocab = enc.dictionary
             v = len(vocab)
             keys = par * v + codes

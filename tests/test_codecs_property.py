@@ -84,3 +84,70 @@ def test_empty_inputs():
     assert delta_encode(np.array([], dtype=np.int64)) == b""
     assert delta_decode(b"", 0).size == 0
     assert varint_lengths(np.array([], dtype=np.uint64)).size == 0
+
+
+# ---------------------------------------------------------------- tokenizer
+
+
+def _re2_reference(texts, pattern):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(low, pattern)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    parent = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    return (
+        flat.filter(keep).to_pylist(),
+        parent.filter(keep).to_numpy(zero_copy_only=False).astype(int).tolist(),
+    )
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=80),  # arbitrary unicode incl. surrogateless BMP
+            st.text(
+                alphabet="aB9 \t!é末̇-_0z", max_size=40
+            ),  # dense in separators/case/edge chars
+        ),
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_byte_tokenizer_matches_re2(texts):
+    """The numpy byte tokenizer must match the RE2 split + filter-empties
+    reference EXACTLY — tokens, order, and parent doc indices — on arbitrary
+    unicode, nulls, empties, and boundary-dense inputs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ivfadc_spark.functions.tokenize import TOKEN_PATTERN, arrow_flat_tokens
+
+    arr = pa.array(texts, type=pa.string())
+    want_toks, want_par = _re2_reference(texts, TOKEN_PATTERN)
+    flat, par = arrow_flat_tokens(arr, TOKEN_PATTERN)
+    assert flat.to_pylist() == want_toks
+    assert par.tolist() == want_par
+
+
+def test_byte_class_lut_parsing():
+    import numpy as np
+
+    from ivfadc_spark.functions.tokenize import _byte_class_lut
+
+    lut = _byte_class_lut("[^a-z0-9]+")
+    assert lut is not None
+    assert lut[ord("a")] and lut[ord("z")] and lut[ord("5")]
+    assert not lut[ord("A")] and not lut[ord(" ")] and not lut[0xC3]
+    # non-class patterns fall back
+    assert _byte_class_lut("\\s+") is None
+    assert _byte_class_lut("[^a-z\\d]+") is None
+    assert _byte_class_lut("[a-z]+") is None
+    lut2 = _byte_class_lut("[^a-z0-9_]+")
+    assert lut2 is not None and lut2[ord("_")]
