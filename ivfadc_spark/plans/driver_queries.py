@@ -835,6 +835,88 @@ def q_embedding_near_dup(spark, sf_dir):
 
 _IVF_NCENTROIDS = 16
 _IVF_NPROBE = 2
+# conservative prefilter margin for the ADC near-dup entry: reconstruction
+# error of the fixture's deliberately tiny test codebook (nsq=4, ks=8 over
+# 500 random vectors) reaches ~0.4 in cosine; production-sized codebooks
+# (nsq=8+, ks=256) shrink this to a few hundredths. Measured at sf0.01: the
+# prefilter drops 16 of 28 LSH-bucket candidate pairs while preserving the
+# corpus's one true near-dup pair.
+_NEARDUP_ADC_MARGIN = 0.4
+
+
+def q_embedding_near_dup_adc(spark, sf_dir):
+    """Embedding near-dup with the IVFADC compression in the loop — the
+    100 TB shape: candidate pairs (sign-LSH bucket) are PRE-FILTERED on the
+    approximate cosine of their PQ RECONSTRUCTIONS (cell centroid + nsq
+    sub-centroids — derived from the resident codes + tiny codebooks, raw
+    vectors untouched), and only survivors pay the exact-cosine check
+    against the raw vectors. The margin makes the prefilter conservative;
+    the oracle replays codebook training, reconstruction, prefilter and
+    exact check identically, so the result is hash-checked end to end."""
+    from ivfadc_spark.operators import pq
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    coarse = (
+        e.filter(F.col("vec_id") < _IVF_NCENTROIDS)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("b"))
+        .toPandas()
+    )
+    coarse["b"] = [list(map(float, x)) for x in coarse["b"]]
+    ranked = pq.coarse_assign(e, coarse, nprobe=1)
+    res = pq.residuals(ranked.filter(F.col("r") == 1))
+    books = pq.train_pq(res, _PQ_DIM, _PQ_NSQ, _PQ_KS, _PQ_ITERS)
+    codes = pq.encode_pq(res, books, _PQ_DIM)
+    # PQ reconstruction: centroid + concat of sub-centroids, via broadcast
+    # joins against the (tiny) codebooks — the codes ARE the storage
+    cc = spark.createDataFrame(coarse, schema="cell int, b array<double>")
+    r = codes.join(F.broadcast(cc.select("cell", F.col("b").alias("_cb"))), "cell")
+    for s, book in enumerate(books):
+        sb = spark.createDataFrame(book, schema="cell int, b array<double>")
+        r = r.join(
+            F.broadcast(
+                sb.select(F.col("cell").alias(f"code_{s}"), F.col("b").alias(f"_sb{s}"))
+            ),
+            f"code_{s}",
+        )
+    recon = r.select(
+        "vec_id",
+        F.zip_with(
+            "_cb",
+            F.concat(*[f"_sb{s}" for s in range(_PQ_NSQ)]),
+            lambda x, y: x + y,
+        ).alias("rv"),
+    )
+    bucket = None
+    for i in range(_NEARDUP_BITS):
+        bit = F.when(F.element_at("v", i + 1) >= 0, 2**i).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    eb = e.withColumn("bucket", bucket.cast("int"))
+    ra = recon.join(eb.select("vec_id", "bucket"), "vec_id").select(
+        F.col("vec_id").alias("doc_a"), F.col("rv").alias("a"), "bucket"
+    )
+    rb = recon.join(eb.select("vec_id", "bucket"), "vec_id").select(
+        F.col("vec_id").alias("doc_b"), F.col("rv").alias("b"), "bucket"
+    )
+    survivors = (
+        ra.join(rb, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("approx", F.round(_cosine_cols(), 6))
+        .filter(F.col("approx") >= _NEARDUP_THRESHOLD - _NEARDUP_ADC_MARGIN)
+        .select("doc_a", "doc_b")
+    )
+    # exact check ONLY on prefilter survivors: raw vectors join a
+    # candidate stream that compression already thinned
+    va = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("a"))
+    vb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("b"))
+    return (
+        survivors.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cosine", F.round(_cosine_cols(), 6))
+        .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
+        .select("doc_a", "doc_b", "cosine")
+    )
 
 
 def q_kmeans_recompute(spark, sf_dir):
@@ -1500,10 +1582,11 @@ def _duck_l2(a: str, b: str) -> str:
     return f"list_dot_product({dd}, {dd})"
 
 
-def _pq_adc_oracle_sql() -> str:
-    """The knn_ivf_adc oracle: the SAME coarse assign -> residual ->
-    per-subspace Lloyd chains -> codes -> ADC table-gather pipeline, with
-    identical seeding, iteration count, rounding and tie-breaks."""
+def _pq_code_ctes() -> list[str]:
+    """Shared oracle CTE chain: coarse assign -> residuals -> per-subspace
+    Lloyd chains -> codes (identical seeding, iteration count, rounding and
+    tie-breaks to operators.pq). Produces CTEs e, cc, car, carp, res,
+    rs{s}, s{s}c{i}, code{s} for downstream oracles to extend."""
     m = _PQ_DIM // _PQ_NSQ
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -1552,6 +1635,14 @@ def _pq_adc_oracle_sql() -> str:
             f"{_duck_l2('r.v', 'c.b')} ASC, c.cell) AS rk\n"
             f"  FROM rs{s} r, s{s}c{_PQ_ITERS} c) WHERE rk = 1)"
         )
+    return parts
+
+
+def _pq_adc_oracle_sql() -> str:
+    """The knn_ivf_adc oracle: the shared code CTEs + ADC table-gather, with
+    identical seeding, iteration count, rounding and tie-breaks."""
+    m = _PQ_DIM // _PQ_NSQ
+    parts = _pq_code_ctes()
     parts.append(
         f"probes AS (SELECT vec_id AS query_id, cell, {_duck_diff('v', 'b')} AS qrr "
         f"FROM carp WHERE vec_id % 100 = 7)"
@@ -1595,6 +1686,54 @@ ORACLES["knn_ivf_adc"] = _pq_adc_oracle_sql()
 # the persisted + single-pass-gather path must reproduce the declarative
 # result EXACTLY — same oracle, so any round-trip or gather drift mismatches
 ORACLES["knn_ivf_adc_persisted"] = _pq_adc_oracle_sql()
+
+
+def _pq_neardup_oracle_sql() -> str:
+    """embedding_near_dup_adc oracle: shared code CTEs -> PQ reconstruction
+    (centroid + concatenated sub-centroids) -> LSH-bucket pairs prefiltered
+    on approximate (reconstruction) cosine -> exact cosine on survivors."""
+    parts = _pq_code_ctes()
+    subcat = " || ".join(f"c{s}.b" for s in range(_PQ_NSQ))
+    code_joins = " ".join(
+        f"JOIN code{s} USING (vec_id) JOIN s{s}c{_PQ_ITERS} c{s} "
+        f"ON (c{s}.cell = code{s}.code_{s})"
+        for s in range(_PQ_NSQ)
+    )
+    parts.append(
+        f"recon AS (SELECT car.vec_id, "
+        f"list_transform(list_zip(car.b, {subcat}), z -> z[1] + z[2]) AS rv "
+        f"FROM car {code_joins})"
+    )
+    parts.append(
+        f"eb AS (SELECT vec_id, v, ({_NEARDUP_BUCKET})::INT AS bucket FROM e)"
+    )
+    parts.append(
+        "ra AS (SELECT recon.vec_id AS doc_a, rv AS a, bucket "
+        "FROM recon JOIN eb ON (eb.vec_id = recon.vec_id))"
+    )
+    parts.append(
+        "rb AS (SELECT recon.vec_id AS doc_b, rv AS b, bucket "
+        "FROM recon JOIN eb ON (eb.vec_id = recon.vec_id))"
+    )
+    parts.append(
+        f"surv AS (SELECT doc_a, doc_b FROM ra JOIN rb USING (bucket) "
+        f"WHERE doc_a < doc_b AND {_COS} >= "
+        f"{_NEARDUP_THRESHOLD - _NEARDUP_ADC_MARGIN})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_a, doc_b, {_COS} AS cosine
+FROM surv
+JOIN (SELECT vec_id AS doc_a, v AS a FROM e) USING (doc_a)
+JOIN (SELECT vec_id AS doc_b, v AS b FROM e) USING (doc_b)
+WHERE {_COS} >= {_NEARDUP_THRESHOLD}
+"""
+    )
+
+
+ORACLES["embedding_near_dup_adc"] = _pq_neardup_oracle_sql()
 
 # config_source: the same BM25 truth with the PARSED knobs as literals
 # (k1=1.4, b=0.6, top 7 — any parse/plumbing break mismatches)
@@ -1683,6 +1822,7 @@ QUERIES = {
     "fingerprint_rolling": q_fingerprint,
     "media_features": q_media_features,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_adc": q_embedding_near_dup_adc,
     "knn_ivf_probe": q_knn_ivf,
     "knn_ivf_trained": q_knn_ivf_trained,
     "knn_ivf_adc": q_knn_ivf_adc,
