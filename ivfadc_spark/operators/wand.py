@@ -69,7 +69,8 @@ def _decode_block_rows(rows: pd.DataFrame, dl_arr: np.ndarray):
 
 
 def _scan_one_query(
-    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float, dl_arr: np.ndarray
+    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float, dl_arr: np.ndarray,
+    live: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Exact MaxScore scan over one query's candidate blocks (numpy).
 
@@ -106,6 +107,11 @@ def _scan_one_query(
         R = float(suffix[j])
         if not restricted:
             ids, tf, dl = _decode_block_rows(rows, dl_arr)
+            if live is not None and ids.size:
+                # mask only REMOVES candidates: every MaxScore bound stays a
+                # certified upper bound, top-k stays exact over live docs
+                lm = live[ids]
+                ids, tf, dl = ids[lm], tf[lm], dl[lm]
             if ids.size:
                 all_ids = np.concatenate([acc_ids, ids])
                 all_sc = np.concatenate([acc_sc, idf * _impact(tf, dl)])
@@ -123,11 +129,14 @@ def _scan_one_query(
                 break
             lo, hi = int(acc_ids[0]), int(acc_ids[-1])
             # block-max range skip, vectorized over the term's blocks
-            live = (rows["last_doc"].to_numpy(np.int64) >= lo) & (
+            live_blocks = (rows["last_doc"].to_numpy(np.int64) >= lo) & (
                 rows["first_doc"].to_numpy(np.int64) <= hi
             )
-            if live.any():
-                ids, tf, dl = _decode_block_rows(rows.loc[live], dl_arr)
+            if live_blocks.any():
+                ids, tf, dl = _decode_block_rows(rows.loc[live_blocks], dl_arr)
+                if live is not None and ids.size:
+                    lm = live[ids]
+                    ids, tf, dl = ids[lm], tf[lm], dl[lm]
                 pos = np.searchsorted(acc_ids, ids)
                 pos_ok = pos < acc_ids.size
                 hit = np.zeros(ids.size, dtype=bool)
@@ -161,6 +170,7 @@ def bm25_topk_batch(
     segment: Segment,
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
+    doc_mask: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Doc-sharded batch top-k BM25 — the throughput path.
 
@@ -180,6 +190,11 @@ def bm25_topk_batch(
       3. global top-k = per-query merge of S local top-ks (S*k tiny rows).
 
     Rank-identical to the term-partitioned path and the brute-force oracle.
+
+    ``doc_mask``: optional doc_space-sized boolean keep-mask (attribute
+    scoping, boolean NOT, ...). Tombstones recorded by ``delete_docs`` are
+    ALWAYS applied on top (Lucene semantics: deleted docs never surface;
+    corpus stats stay the segment's until compaction).
     """
     import numpy as np
 
@@ -189,6 +204,11 @@ def bm25_topk_batch(
     k1, b = float(cfg.k1), float(cfg.b)
     avgdl = float(segment.meta["avgdl"])
     spark = segment.spark
+
+    from ivfadc_spark.operators.deletes import combine_masks, live_mask
+
+    _lm = combine_masks(live_mask(segment), doc_mask)
+    bmask = spark.sparkContext.broadcast(_lm) if _lm is not None else None
 
     # query prep: tokenize distributed (JVM explode), dedupe+idf merge on
     # the driver against the cached dictionary (the broker role; a Spark
@@ -373,6 +393,23 @@ def bm25_topk_batch(
                         "sentinel doc-stats table — segment is corrupt"
                     )
             all_imp = (tf * (k1 + 1.0)) / (tf + denom)
+            if bmask is not None:
+                # drop masked-out (deleted / out-of-scope) postings and
+                # recompute the term slice offsets — surviving ids keep
+                # their order, so the doc-sorted-slice invariant holds and
+                # every bound (built pre-filter) stays an upper bound
+                lv_post = bmask.value[all_ids]
+                if not lv_post.all():
+                    tl_arr = np.fromiter(
+                        t_len.values(), dtype=np.int64, count=len(t_len)
+                    )
+                    ord_post = np.repeat(np.arange(tl_arr.size), tl_arr)[lv_post]
+                    all_ids, all_imp = all_ids[lv_post], all_imp[lv_post]
+                    new_len = np.bincount(ord_post, minlength=tl_arr.size)
+                    new_start = np.r_[0, np.cumsum(new_len)[:-1]]
+                    for i, t in enumerate(list(t_start)):
+                        t_start[t] = int(new_start[i])
+                        t_len[t] = int(new_len[i])
             # multi-query vectorized MaxScore TAAT, processed in ROUNDS of
             # descending per-query term upper bound (ub = idf * max block
             # impact). Keys pack (chunk-local query ordinal << SHIFT | doc),
@@ -613,6 +650,7 @@ def bm25_topk_indexed(
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
     collect_prune: bool | None = None,
+    doc_mask: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Top-k BM25 from a compressed segment, rank-identical to the
     DataFrame path. queries: (query_id, text).
@@ -620,10 +658,18 @@ def bm25_topk_indexed(
     ``collect_prune=None`` (default) auto-switches on the query-terms batch
     size: small batches take the driver-side static-prune path, large ones
     the no-collect broadcast semi-join path — the caller no longer has to
-    know which regime they are in."""
+    know which regime they are in.
+
+    ``doc_mask``: optional doc_space-sized boolean keep-mask (attribute
+    scoping, boolean NOT, ...). Tombstones recorded by ``delete_docs`` are
+    ALWAYS applied on top (Lucene semantics: deleted docs never surface;
+    corpus stats stay the segment's until compaction)."""
+    from ivfadc_spark.operators.deletes import combine_masks, live_mask
+
     k = k or cfg.top_k
     k1, b = float(cfg.k1), float(cfg.b)
     avgdl = float(segment.meta["avgdl"])
+    _lm = combine_masks(live_mask(segment), doc_mask)
 
     n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
     spark = segment.spark
@@ -677,6 +723,7 @@ def bm25_topk_indexed(
     par = spark.sparkContext.defaultParallelism
     cand = cand.repartition(par, "query_id")
     bdl = segment.dl_broadcast  # resident per-doc dl (v3: blocks carry no dl)
+    bmask = spark.sparkContext.broadcast(_lm) if _lm is not None else None
 
     def scan(batches):
         pdfs = [pdf for pdf in batches if len(pdf)]
@@ -684,7 +731,8 @@ def bm25_topk_indexed(
             return
         whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         dl_arr = bdl.value
+        lv = bmask.value if bmask is not None else None
         for _, g in whole.groupby("query_id", sort=False):
-            yield _scan_one_query(g, k, k1, b, avgdl, dl_arr)
+            yield _scan_one_query(g, k, k1, b, avgdl, dl_arr, live=lv)
 
     return cand.mapInPandas(scan, RESULT_SCHEMA)

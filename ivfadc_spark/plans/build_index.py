@@ -54,7 +54,7 @@ from ivfadc_spark.operators.postings import (
 from ivfadc_spark.operators.segments import Segment
 from ivfadc_spark.sources.transcripts import assign_doc_ids, release_doc_ids
 
-LAYOUT_VERSION = 2
+LAYOUT_VERSION = 3  # 3: doc_map carries the input's role/tool attributes
 
 
 def _manifest_path(out: str) -> str:
@@ -148,7 +148,7 @@ def build_index(
         # the per-doc token counts from the encoder's sentinel rows.
         obs = Observation("doc_map")
         (
-            with_ids.select("doc_id", "conv_id", "turn_idx")
+            with_ids.select("doc_id", "conv_id", "turn_idx", "role", "tool")
             .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("overwrite")
             .parquet(p_docs)

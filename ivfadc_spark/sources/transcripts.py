@@ -221,6 +221,8 @@ def release_doc_ids(df_with_ids: DataFrame) -> None:
 
 
 def doc_map(df_with_ids: DataFrame) -> DataFrame:
-    """doc_map(doc_id, conv_id, turn_idx) — analog of the reference ``nl``
-    name list (/root/reference/Index.cpp:10,35,97)."""
-    return df_with_ids.select("doc_id", "conv_id", "turn_idx")
+    """doc_map(doc_id, conv_id, turn_idx, role, tool) — analog of the
+    reference ``nl`` name list (/root/reference/Index.cpp:10,35,97), plus
+    the input's per-turn attributes so attribute-scoped search (query-time
+    ``WHERE role = ...``) never re-reads the source table."""
+    return df_with_ids.select("doc_id", "conv_id", "turn_idx", "role", "tool")
