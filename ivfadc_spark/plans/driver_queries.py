@@ -93,6 +93,24 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _bm25_masked_sql(cand_pred: str) -> str:
+    """BM25 top-k with CANDIDATES restricted by ``cand_pred`` while corpus
+    statistics (n, avgdl, df/idf) stay FULL-corpus — the Lucene contract for
+    tombstoned / attribute-scoped search before compaction."""
+    return _BM25_TOPK_SQL.format(values=_values_sql()).replace(
+        "  GROUP BY 1, 2),",
+        f"  WHERE {cand_pred}\n  GROUP BY 1, 2),",
+    )
+
+
+def _bm25_filtered_corpus_sql(doc_pred: str) -> str:
+    """BM25 top-k over a corpus that never contained the docs failing
+    ``doc_pred`` — statistics rescoped; the post-compaction contract."""
+    return _BM25_TOPK_SQL.format(values=_values_sql()).replace(
+        "FROM documents", f"FROM (SELECT * FROM documents WHERE {doc_pred})"
+    )
+
+
 def _bm25_inputs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     tf = S.term_frequencies(docs)
@@ -224,6 +242,69 @@ def q_bm25_conjunctive_indexed(spark, sf_dir):
         seg.meta["avgdl"],
         k=10,
     )
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _get_deleted_segment(spark, sf_dir):
+    """A segment with the deterministic tombstone set doc_id % 17 == 3.
+
+    Built under its own cache tag so the shared clean segment is never
+    mutated; ``delete_docs`` is idempotent here (guarded on the sidecar),
+    so entry execution order doesn't matter."""
+    from ivfadc_spark.operators.deletes import delete_docs, tombstone_ids
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG, tag="tombstoned")
+    if not tombstone_ids(seg).size:
+        delete_docs(seg, [d for d in range(int(seg.doc_space)) if d % 17 == 3])
+    return seg
+
+
+def q_bm25_deleted(spark, sf_dir):
+    """Tombstoned search (Lucene delete model): docs with doc_id % 17 == 3
+    are deleted via ``delete_docs`` (an O(deletes) sidecar append — the
+    index is NOT rewritten), and the WAND scan must drop them as candidates
+    while still scoring with the segment's ORIGINAL corpus statistics.
+    The oracle keeps full-corpus n/avgdl/idf and filters candidates only."""
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+
+    seg = _get_deleted_segment(spark, sf_dir)
+    res = bm25_topk_indexed(_queries_df(spark), seg, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_scoped(spark, sf_dir):
+    """Attribute-scoped search: top-k over only role='assistant' turns
+    (query-time ``WHERE`` on doc_map attributes — no rebuild, no source
+    re-read), through the batch TAAT kernel with a doc_space keep-mask.
+    transcripts_from_documents assigns role by doc_id % 3 (1 = assistant),
+    which is what the oracle's candidate predicate mirrors."""
+    from ivfadc_spark.operators.deletes import attribute_mask
+    from ivfadc_spark.operators.wand import bm25_topk_batch
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    mask = attribute_mask(seg, F.col("role") == "assistant")
+    res = bm25_topk_batch(_queries_df(spark), seg, k=10, doc_mask=mask)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+_COMPACTED_CACHE: dict = {}
+
+
+def q_bm25_compacted(spark, sf_dir):
+    """LSM compaction: rewrite the tombstoned segment without its deleted
+    postings (one mapInPandas decode->filter->re-encode pass, layout and
+    term_bucket partitioning preserved — no shuffle) and RESCOPE
+    n_docs/avgdl/df. Afterwards scoring must match a corpus that never
+    contained the deleted docs — the oracle recomputes all statistics over
+    the filtered corpus."""
+    from ivfadc_spark.operators.deletes import compact_segment
+    from ivfadc_spark.operators.wand import bm25_topk_batch
+
+    seg = _get_deleted_segment(spark, sf_dir)
+    if sf_dir not in _COMPACTED_CACHE:
+        out = tempfile.mkdtemp(prefix="ivfadc_cseg_")
+        _COMPACTED_CACHE[sf_dir] = compact_segment(spark, seg, out)
+    res = bm25_topk_batch(_queries_df(spark), _COMPACTED_CACHE[sf_dir], k=10)
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
@@ -1179,6 +1260,11 @@ SELECT n::BIGINT AS n_docs, round(avgdl, 6) AS avgdl FROM stats
 
 ORACLES["bm25_topk_dataframe"] = _BM25_TOPK_SQL.format(values=_values_sql())
 ORACLES["bm25_topk_wand"] = _BM25_TOPK_SQL.format(values=_values_sql())
+# Lucene delete/scope semantics: candidates filtered, stats full-corpus
+ORACLES["bm25_topk_deleted"] = _bm25_masked_sql("tf.doc_id % 17 <> 3")
+ORACLES["bm25_topk_scoped"] = _bm25_masked_sql("tf.doc_id % 3 = 1")
+# post-compaction: stats rescoped to the surviving corpus
+ORACLES["bm25_topk_compacted"] = _bm25_filtered_corpus_sql("doc_id % 17 <> 3")
 
 # AND-semantics: a doc must contain EVERY query term (n_match counts matched
 # distinct terms — qt is deduped — against the query's total distinct tokens
@@ -1794,6 +1880,9 @@ QUERIES = {
     "bm25_topk_wand": q_bm25_wand,
     "bm25_topk_batch": q_bm25_batch,
     "bm25_conjunctive_indexed": q_bm25_conjunctive_indexed,
+    "bm25_topk_deleted": q_bm25_deleted,
+    "bm25_topk_scoped": q_bm25_scoped,
+    "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,
     "multi_segment_phrase": q_multi_segment_phrase,
     "phrase_topk": q_phrase_topk,
