@@ -672,13 +672,29 @@ def bm25_topk_indexed(
     _lm = combine_masks(live_mask(segment), doc_mask)
 
     n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
-    spark = segment.spark
-    par = spark.sparkContext.defaultParallelism
     qt = (
         query_terms(queries)
         .join(F.broadcast(segment.dictionary.select("term", "idf")), "term")  # drops OOV
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
+    return _topk_scan_from_qt(segment, qt, k, k1, b, avgdl, _lm, collect_prune)
+
+
+def _topk_scan_from_qt(
+    segment: Segment,
+    qt: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    _lm: "np.ndarray | None",
+    collect_prune: bool | None,
+) -> DataFrame:
+    """Shared pruned-scan core of the indexed top-k paths: takes a resolved
+    (query_id, term, idf, term_bucket) frame (however the caller produced
+    it — exact dictionary join, prefix expansion, ...) and runs the
+    block-pruned MaxScore scan."""
+    spark = segment.spark
     qt_rows = None
     if collect_prune is None:
         probe = qt.limit(_COLLECT_PRUNE_MAX_ROWS + 1).collect()
@@ -736,3 +752,82 @@ def bm25_topk_indexed(
             yield _scan_one_query(g, k, k1, b, avgdl, dl_arr, live=lv)
 
     return cand.mapInPandas(scan, RESULT_SCHEMA)
+
+
+def prefix_topk(
+    queries: DataFrame,
+    segment: Segment,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    doc_mask: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Top-k BM25 with Lucene-style trailing-wildcard terms (``quer*``).
+
+    Query text is whitespace-split; a token ending in ``*`` is a PREFIX and
+    expands against the term dictionary (Lucene's scoring multi-term
+    rewrite: every expanded term scores with its OWN idf, deduped per query
+    so a term never counts twice even when several prefixes or an exact
+    token also match it). Plain tokens behave exactly as in
+    :func:`bm25_topk_indexed`.
+
+    Scale shape: expansion never touches postings — the prefix set is query
+    metadata (collected driver-side, the documented broker pattern) and
+    becomes ONE filtered pass over the dictionary; ``startswith`` pushes to
+    the parquet scan as StringStartsWith, so a term-sorted dictionary gets
+    row-group range pruning for free. The expanded (query_id, term) set
+    then drives the same block-pruned MaxScore scan as exact search.
+    """
+    from ivfadc_spark.operators.deletes import combine_masks, live_mask
+
+    k = k or cfg.top_k
+    k1, b = float(cfg.k1), float(cfg.b)
+    avgdl = float(segment.meta["avgdl"])
+    _lm = combine_masks(live_mask(segment), doc_mask)
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+    spark = segment.spark
+
+    toks = (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        # a token is a prefix when a star ends its alphanumeric part —
+        # trailing punctuation after the star ("quer*," at a clause end)
+        # must not demote it to an exact term
+        .withColumn("is_prefix", F.col("tok").rlike(r"\*[^a-z0-9]*$"))
+        .withColumn("stem", F.regexp_replace("tok", "[^a-z0-9]", ""))
+        .filter(F.length("stem") > 0)
+        .select("query_id", "stem", "is_prefix")
+        .distinct()
+    )
+    d = segment.dictionary.select("term", "idf")
+    exact = (
+        toks.filter(~F.col("is_prefix"))
+        .select("query_id", F.col("stem").alias("term"))
+        .join(F.broadcast(d), "term")
+        .select("query_id", "term", "idf")
+    )
+    prefixes = [
+        r["stem"]
+        for r in toks.filter("is_prefix").select("stem").distinct().collect()
+    ]
+    if prefixes:
+        pred = None
+        for p in prefixes:
+            c = F.col("term").startswith(p)
+            pred = c if pred is None else (pred | c)
+        pref_df = toks.filter("is_prefix").select(
+            "query_id", F.col("stem").alias("p")
+        )
+        expanded = (
+            d.filter(pred)  # one dictionary pass, predicate pushed to scan
+            .join(F.broadcast(pref_df), F.col("term").startswith(F.col("p")))
+            .select("query_id", "term", "idf")
+        )
+        qt = exact.unionByName(expanded).distinct()
+    else:
+        qt = exact.distinct()
+    qt = qt.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    return _topk_scan_from_qt(segment, qt, k, k1, b, avgdl, _lm, None)

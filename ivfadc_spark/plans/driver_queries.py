@@ -245,6 +245,35 @@ def q_bm25_conjunctive_indexed(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# trailing-wildcard query set: known-vocabulary prefixes, a broad one-letter
+# class (st* — many expansions), a pure-OOV prefix, and mixed exact+prefix
+PREFIX_QUERYSET = [
+    (0, "tab* scan"),
+    (1, "quer*"),
+    (2, "jo*, wind*"),
+    (3, "customer filt*"),
+    (4, "st*"),
+    (5, "zzzq*"),
+    (6, "m* plan"),
+]
+
+
+def q_prefix_search(spark, sf_dir):
+    """Trailing-wildcard (``quer*``) top-k BM25: prefixes expand against the
+    term dictionary (ONE filtered dictionary pass — postings untouched by
+    expansion), every expanded term scores with its own idf, deduped per
+    query; then the normal block-pruned MaxScore scan."""
+    from ivfadc_spark.operators.wand import prefix_topk
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    pq = spark.createDataFrame(
+        pd.DataFrame(PREFIX_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    res = prefix_topk(pq, seg, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _get_deleted_segment(spark, sf_dir):
     """A segment with the deterministic tombstone set doc_id % 17 == 3.
 
@@ -269,6 +298,53 @@ def q_bm25_deleted(spark, sf_dir):
 
     seg = _get_deleted_segment(spark, sf_dir)
     res = bm25_topk_indexed(_queries_df(spark), seg, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+# document updates (upsert): old versions tombstoned in the base segment,
+# new text ingested as an LSM delta segment, both queried as one corpus
+UPDATED_PREFIX = "revised patch note "
+UPDATE_QUERYSET = QUERYSET + [(8, "revised patch note")]
+
+
+def q_bm25_updated(spark, sf_dir):
+    """Document UPDATE through the LSM path (Lucene update-document model):
+    docs with doc_id % 23 == 5 get new text (a deterministic prefix). The
+    old versions are tombstoned in the base segment (O(updates) sidecar
+    append — no rewrite) and the new versions are built as a small DELTA
+    segment; a SegmentSet federates both. Queries must hit the new text
+    and never the old: the delta's docs enter at base-doc_space + dense
+    rank, the tombstone mask drops the stale versions, and — the Lucene
+    contract before compaction — corpus statistics count BOTH versions
+    (base stats unscoped + delta stats summed). The oracle replays exactly
+    that: union corpus for stats, live docs only as candidates."""
+    from ivfadc_spark.operators.deletes import delete_docs, tombstone_ids
+    from ivfadc_spark.operators.segments import SegmentSet
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+    from ivfadc_spark.plans.build_index import build_index
+    from ivfadc_spark.sources.transcripts import transcripts_from_documents
+
+    base = _get_segment(spark, sf_dir, _ENGINE_CFG, tag="upd_base")
+    if not tombstone_ids(base).size:
+        delete_docs(base, [d for d in range(int(base.doc_space)) if d % 23 == 5])
+    key = (sf_dir, _ENGINE_CFG.to_json(), "upd_delta")
+    if key not in _SEGMENT_CACHE:
+        docs = (
+            _read(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 23 == 5)
+            .withColumn("text", F.concat(F.lit(UPDATED_PREFIX), F.col("text")))
+        )
+        out = tempfile.mkdtemp(prefix="ivfadc_dseg_")
+        _SEGMENT_CACHE[key] = build_index(
+            spark, transcripts_from_documents(docs), out, cfg=_ENGINE_CFG
+        )
+    ss = SegmentSet(spark, [base, _SEGMENT_CACHE[key]])
+    upq = spark.createDataFrame(
+        pd.DataFrame(UPDATE_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    res = bm25_topk_indexed(upq, ss, k=10)
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
@@ -1266,6 +1342,71 @@ ORACLES["bm25_topk_scoped"] = _bm25_masked_sql("tf.doc_id % 3 = 1")
 # post-compaction: stats rescoped to the surviving corpus
 ORACLES["bm25_topk_compacted"] = _bm25_filtered_corpus_sql("doc_id % 17 <> 3")
 
+_UPDATE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in UPDATE_QUERYSET)
+# document update replay: corpus = old text of EVERY doc (stats keep the
+# stale versions — the uncompacted Lucene contract) UNION new text at
+# base-doc_space + dense rank; candidates exclude the stale versions
+ORACLES["bm25_topk_updated"] = f"""
+WITH queries(query_id, text) AS (VALUES {_UPDATE_VALUES}),
+upd AS (
+  SELECT (SELECT count(*) FROM documents)
+           + row_number() OVER (ORDER BY doc_id) - 1 AS doc_id,
+         '{UPDATED_PREFIX}' || text AS text
+  FROM documents WHERE doc_id % 23 = 5),
+corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM upd),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM corpus),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  WHERE tf.doc_id % 23 <> 5 OR tf.doc_id >= (SELECT count(*) FROM documents)
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+_PREFIX_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PREFIX_QUERYSET)
+# wildcard expansion in SQL: the dictionary join condition is LIKE 'stem%'
+# for prefix tokens, equality for plain ones; scoring identical to
+# _BM25_TOPK_SQL from the expanded (query_id, term) set
+ORACLES["prefix_search"] = f"""
+WITH queries(query_id, text) AS (VALUES {_PREFIX_VALUES}),
+{_BM25_CTES},
+qtok AS (SELECT query_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         FROM queries),
+qre AS (
+  SELECT query_id,
+         regexp_replace(tok, '[^a-z0-9]', '', 'g') AS stem,
+         regexp_matches(tok, '\*[^a-z0-9]*$') AS is_prefix
+  FROM qtok
+  WHERE length(regexp_replace(tok, '[^a-z0-9]', '', 'g')) > 0),
+qt AS (
+  SELECT DISTINCT query_id, d.term
+  FROM qre JOIN dict d
+    ON (CASE WHEN is_prefix THEN d.term LIKE stem || '%' ELSE d.term = stem END)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
 # AND-semantics: a doc must contain EVERY query term (n_match counts matched
 # distinct terms — qt is deduped — against the query's total distinct tokens
 # INCLUDING out-of-vocabulary ones, so an OOV query matches nothing)
@@ -1881,6 +2022,8 @@ QUERIES = {
     "bm25_topk_batch": q_bm25_batch,
     "bm25_conjunctive_indexed": q_bm25_conjunctive_indexed,
     "bm25_topk_deleted": q_bm25_deleted,
+    "bm25_topk_updated": q_bm25_updated,
+    "prefix_search": q_prefix_search,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,

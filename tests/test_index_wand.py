@@ -249,3 +249,44 @@ def test_batch_path_over_merged_and_federated(spark, corpus, tmp_path):
     import numpy as np
 
     np.testing.assert_allclose(got_f["score"], want["score"], rtol=1e-12)
+
+
+def test_prefix_topk_equals_expanded_exact(spark, corpus):
+    """prefix_topk('term00*') ≡ bm25_topk_indexed over the manually
+    expanded term set (every expansion scores with its own idf); an
+    exact token overlapping a prefix expansion is deduped; a pure-OOV
+    prefix matches nothing."""
+    import numpy as np
+
+    from ivfadc_spark.operators.wand import prefix_topk
+
+    tx, seg, out = corpus
+    vocab = [r["term"] for r in seg.dictionary.select("term").collect()]
+    exp = sorted(t for t in vocab if t.startswith("term00"))
+    assert len(exp) > 1  # the fixture has term000..term009+
+
+    def qdf(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "text"]),
+            schema="query_id long, text string",
+        )
+
+    got = (
+        prefix_topk(qdf([(0, "term00*"), (1, "zzzqx*"), (2, "headterm head*")]), seg, k=10, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    # q1: OOV prefix → no rows
+    assert (got["query_id"] == 1).sum() == 0
+
+    exp2 = sorted({t for t in vocab if t.startswith("head")} | {"headterm"})
+    want = (
+        bm25_topk_indexed(
+            qdf([(0, " ".join(exp)), (2, " ".join(exp2))]), seg, k=10, cfg=CFG
+        )
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
