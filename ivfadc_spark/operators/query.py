@@ -135,3 +135,121 @@ def bm25_topk_conjunctive(
         .select("query_id", "doc_id", "score")
     )
     return topk(scored, k, cfg)
+
+
+def facet_counts(
+    queries: DataFrame,
+    segment,
+    attr: str = "role",
+) -> DataFrame:
+    """Per-query facet counts over the FULL matching doc set (OR semantics):
+    for every live doc containing at least one query term, count docs per
+    ``doc_map`` attribute value — the results-sidebar aggregation of every
+    search UI (beyond the reference: it has no document attributes,
+    /root/reference/SearchEngine.cpp:221-297 returns ranked ids only).
+
+    Scale shape: candidates come from the same pruned blocks scan as
+    ``bm25_topk_indexed``'s no-collect path (broadcast semi-join on the
+    query terms -> term_bucket partition pruning + term min/max row-group
+    pruning — postings of non-query terms are never read). The facet
+    aggregation shuffles only distinct (query_id, doc_id) pairs, and the
+    attribute join touches the candidate set, not the corpus. Tombstones
+    are dropped via a broadcast anti-join (deletes are small by
+    construction; the Lucene delete contract needs no statistics here
+    because facets count, not score).
+    """
+    from ivfadc_spark.operators.postings import decode_blocks
+
+    spark = segment.spark
+    qt = query_terms(queries)
+    blocks = segment.blocks.join(
+        F.broadcast(qt.select("term").distinct()), "term", "leftsemi"
+    )
+    cand = (
+        decode_blocks(blocks)
+        .select("term", "doc_id")
+        .join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    from ivfadc_spark.operators.deletes import tombstone_ids
+
+    dead = tombstone_ids(segment) if not hasattr(segment, "segments") else None
+    if dead is not None and dead.size:
+        dead_df = spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
+        cand = cand.join(F.broadcast(dead_df), "doc_id", "left_anti")
+    dm = segment.doc_map.select("doc_id", attr)
+    return (
+        cand.join(dm, "doc_id")
+        .groupBy("query_id", attr)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def bm25_topk_boolean(
+    queries: DataFrame,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    dl: DataFrame,
+    avgdl: float,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Lucene BooleanQuery semantics over whitespace-split query text:
+    ``+term`` = MUST, ``-term`` = MUST_NOT, bare = SHOULD.
+
+    A ranked doc must contain every MUST term, no MUST_NOT term, and
+    scores as the BM25 sum over its matched MUST + SHOULD terms. Edge
+    rules (all mirroring Lucene and the conjunctive path's conventions):
+    an out-of-vocabulary MUST term can never be satisfied, so the query
+    returns nothing; an OOV MUST_NOT excludes nothing; a term listed
+    under several operators resolves to the strongest
+    (MUST_NOT > MUST > SHOULD), so ``+a -a`` matches nothing.
+
+    Scale shape: all query-side frames are tiny and broadcast; positives
+    probe the tf fact table exactly like :func:`bm25_scores` (J1 —
+    broadcast-hash, no index-side shuffle); exclusions are one more
+    term-probe whose DISTINCT (query_id, doc_id) pairs anti-join the
+    scored candidates on their grouping key. Nothing scans terms outside
+    the query. Beyond the reference (pure OR semantics,
+    /root/reference/SearchEngine.cpp:148-157).
+    """
+    toks = (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .withColumn(
+            "r",
+            F.when(F.col("tok").startswith("-"), F.lit(0))
+            .when(F.col("tok").startswith("+"), F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        .withColumn("term", F.regexp_replace("tok", "[^a-z0-9]", ""))
+        .filter(F.length("term") > 0)
+        .groupBy("query_id", "term")
+        .agg(F.min("r").alias("r"))  # strongest operator wins per term
+    )
+    pos = toks.filter(F.col("r") >= 1)
+    n_must = (
+        toks.filter(F.col("r") == 1)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_must"))  # counts OOV musts too (unmatchable)
+    )
+    cand = tf.join(F.broadcast(pos), "term")
+    cand = cand.join(F.broadcast(dictionary.select("term", "idf")), "term")
+    cand = cand.join(dl, "doc_id").withColumn("avgdl", F.lit(float(avgdl)))
+    scored = (
+        cand.withColumn("partial", bm25_partial_score(cfg))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("partial").alias("score"),
+            F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("n_must_match"),
+        )
+        .join(F.broadcast(n_must), "query_id", "left")
+        .filter(F.col("n_must_match") == F.coalesce(F.col("n_must"), F.lit(0)))
+    )
+    neg = toks.filter(F.col("r") == 0).select("query_id", "term")
+    excl = tf.join(F.broadcast(neg), "term").select("query_id", "doc_id").distinct()
+    scored = scored.join(excl, ["query_id", "doc_id"], "left_anti")
+    return topk(scored.select("query_id", "doc_id", "score"), k, cfg)

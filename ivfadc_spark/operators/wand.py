@@ -831,3 +831,86 @@ def prefix_topk(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
     return _topk_scan_from_qt(segment, qt, k, k1, b, avgdl, _lm, None)
+
+
+def fuzzy_topk(
+    queries: DataFrame,
+    segment: Segment,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    doc_mask: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Top-k BM25 with Lucene fuzzy terms (``spakr~`` or ``spakr~2``).
+
+    Query text is whitespace-split; a token ending in ``~`` (optionally
+    ``~N``, N capped at 2, default 1) is FUZZY and expands to every
+    dictionary term within plain Levenshtein distance N — Lucene's scoring
+    multi-term rewrite, same as :func:`prefix_topk`: each expanded term
+    scores with its OWN idf, deduped per query (the stem itself matches at
+    distance 0). Plain tokens behave exactly as in ``bm25_topk_indexed``.
+
+    Scale shape: fully declarative — the tiny fuzzy stem set broadcasts
+    against ONE dictionary pass (a broadcast nested-loop join with a
+    length-band prune ahead of the levenshtein evaluation; the postings
+    are never touched by expansion). Lucene walks its term FST with a
+    Levenshtein automaton to the same effect — here the O(vocabulary)
+    columnar scan is the Spark-native equivalent, and the vocabulary is
+    corpus-bounded, not corpus-sized. The expanded (query_id, term) set
+    then drives the shared block-pruned MaxScore scan.
+    """
+    from ivfadc_spark.operators.deletes import combine_masks, live_mask
+
+    k = k or cfg.top_k
+    k1, b = float(cfg.k1), float(cfg.b)
+    avgdl = float(segment.meta["avgdl"])
+    _lm = combine_masks(live_mask(segment), doc_mask)
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+
+    toks = (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        # the ~[N] marker ends the token (trailing punctuation tolerated,
+        # mirroring prefix_topk); strip it BEFORE the alnum squeeze so
+        # "term~1" never collapses to the unrelated stem "term1"
+        .withColumn("is_fuzzy", F.col("tok").rlike(r"~[0-9]?[^a-z0-9]*$"))
+        .withColumn(
+            "dist",
+            F.least(
+                F.coalesce(
+                    F.nullif(
+                        F.regexp_extract("tok", r"~([0-9])[^a-z0-9]*$", 1), F.lit("")
+                    ).cast("int"),
+                    F.lit(1),
+                ),
+                F.lit(2),
+            ),
+        )
+        .withColumn(
+            "stem",
+            F.regexp_replace(
+                F.regexp_replace("tok", r"~[0-9]?[^a-z0-9]*$", ""), "[^a-z0-9]", ""
+            ),
+        )
+        .filter(F.length("stem") > 0)
+        .select("query_id", "stem", "is_fuzzy", "dist")
+        .distinct()
+    )
+    d = segment.dictionary.select("term", "idf")
+    exact = (
+        toks.filter(~F.col("is_fuzzy"))
+        .select("query_id", F.col("stem").alias("term"))
+        .join(F.broadcast(d), "term")
+        .select("query_id", "term", "idf")
+    )
+    fz = toks.filter("is_fuzzy").select("query_id", F.col("stem").alias("s"), "dist")
+    expanded = d.join(
+        F.broadcast(fz),
+        (F.abs(F.length("term") - F.length("s")) <= F.col("dist"))
+        & (F.levenshtein(F.col("term"), F.col("s")) <= F.col("dist")),
+    ).select("query_id", "term", "idf")
+    qt = exact.unionByName(expanded).distinct().withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    return _topk_scan_from_qt(segment, qt, k, k1, b, avgdl, _lm, None)

@@ -177,6 +177,37 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# Lucene boolean syntax: +term = MUST, -term = MUST_NOT, bare = SHOULD;
+# covers OOV MUST (matches nothing), OOV MUST_NOT (excludes nothing),
+# contradictions resolved strongest-op-first, and an all-negative query
+BOOLEAN_QUERYSET = [
+    (0, "table scan -merge"),
+    (1, "+join window"),
+    (2, "+customer +filter data"),
+    (3, "spark -query -plan"),
+    (4, "+zzzqqq scan"),
+    (5, "group -zzzqqq"),
+    (6, "sort +merge -join agg"),
+    (7, "-table"),
+]
+
+
+def q_bm25_boolean(spark, sf_dir):
+    """Lucene BooleanQuery: MUST (+) / MUST_NOT (-) / SHOULD semantics —
+    ranked docs contain every MUST term and no MUST_NOT term, scored over
+    matched MUST+SHOULD; exclusions are one extra term probe anti-joined
+    on the scored candidates."""
+    from ivfadc_spark.operators.query import bm25_topk_boolean
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    bq = spark.createDataFrame(
+        pd.DataFrame(BOOLEAN_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    res = bm25_topk_boolean(bq, tf, d, dl, cs["avgdl"], k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 _SEGMENT_CACHE: dict = {}
 
 
@@ -274,6 +305,36 @@ def q_prefix_search(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# fuzzy query set: single-edit typos of known vocabulary, an explicit ~2
+# distance, a self-match, a pure-OOV stem, and mixed exact+fuzzy
+FUZZY_QUERYSET = [
+    (0, "quey~ plan"),
+    (1, "scann~"),
+    (2, "jion~2 window"),
+    (3, "hsah~2"),
+    (4, "zzzq~"),
+    (5, "merge quey~,"),
+    (6, "key~ valu~"),
+]
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Fuzzy (``spakr~`` / ``spakr~2``) top-k BM25: fuzzy stems expand to
+    every dictionary term within the requested Levenshtein distance (one
+    broadcast nested-loop pass over the dictionary, length-band pruned —
+    postings untouched by expansion), each expansion scores with its own
+    idf, deduped per query; then the shared block-pruned MaxScore scan."""
+    from ivfadc_spark.operators.wand import fuzzy_topk
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    fq = spark.createDataFrame(
+        pd.DataFrame(FUZZY_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    res = fuzzy_topk(fq, seg, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _get_deleted_segment(spark, sf_dir):
     """A segment with the deterministic tombstone set doc_id % 17 == 3.
 
@@ -299,6 +360,18 @@ def q_bm25_deleted(spark, sf_dir):
     seg = _get_deleted_segment(spark, sf_dir)
     res = bm25_topk_indexed(_queries_df(spark), seg, k=10)
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_facet_counts(spark, sf_dir):
+    """Faceted search: per-query doc counts grouped by a doc_map attribute
+    (role) over the FULL matching set (OR semantics), tombstones excluded —
+    the results-sidebar aggregation. Candidates come from the same
+    term-pruned blocks scan as indexed search; the attribute join touches
+    only the candidate set."""
+    from ivfadc_spark.operators.query import facet_counts
+
+    seg = _get_deleted_segment(spark, sf_dir)
+    return facet_counts(_queries_df(spark), seg, attr="role")
 
 
 # document updates (upsert): old versions tombstoned in the base segment,
@@ -1342,6 +1415,23 @@ ORACLES["bm25_topk_scoped"] = _bm25_masked_sql("tf.doc_id % 3 = 1")
 # post-compaction: stats rescoped to the surviving corpus
 ORACLES["bm25_topk_compacted"] = _bm25_filtered_corpus_sql("doc_id % 17 <> 3")
 
+# faceted search: role is deterministic in doc_id (transcripts_from_documents
+# maps role = ['user','assistant','tool'][doc_id % 3]); tombstones
+# (doc_id % 17 == 3) are excluded from the matching set
+ORACLES["facet_counts"] = f"""
+WITH queries(query_id, text) AS (VALUES {{values}}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+cand AS (SELECT DISTINCT qt.query_id, tok.doc_id
+         FROM qt JOIN tok USING(term)
+         WHERE tok.doc_id % 17 <> 3)
+SELECT query_id::BIGINT AS query_id,
+       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            ELSE 'tool' END AS role,
+       count(*)::BIGINT AS n_docs
+FROM cand GROUP BY 1, 2
+""".format(values=_values_sql())
+
 _UPDATE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in UPDATE_QUERYSET)
 # document update replay: corpus = old text of EVERY doc (stats keep the
 # stale versions — the uncompacted Lucene contract) UNION new text at
@@ -1402,6 +1492,84 @@ scored AS (
   GROUP BY 1, 2),
 ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
                   ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+_FUZZY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_QUERYSET)
+# fuzzy expansion in SQL: the dictionary join condition is
+# levenshtein <= dist for fuzzy tokens (the ~[N] suffix stripped BEFORE the
+# alnum squeeze so "jion~2" stems to "jion", not "jion2"), equality for
+# plain ones; scoring identical to _BM25_TOPK_SQL from the expanded set
+ORACLES["fuzzy_search"] = f"""
+WITH queries(query_id, text) AS (VALUES {_FUZZY_VALUES}),
+{_BM25_CTES},
+qtok AS (SELECT query_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         FROM queries),
+qre AS (
+  SELECT query_id,
+         regexp_replace(regexp_replace(tok, '~[0-9]?[^a-z0-9]*$', ''),
+                        '[^a-z0-9]', '', 'g') AS stem,
+         regexp_matches(tok, '~[0-9]?[^a-z0-9]*$') AS is_fuzzy,
+         least(coalesce(try_cast(regexp_extract(tok, '~([0-9])[^a-z0-9]*$', 1)
+                                 AS INT), 1), 2) AS dist
+  FROM qtok
+  WHERE length(regexp_replace(regexp_replace(tok, '~[0-9]?[^a-z0-9]*$', ''),
+                              '[^a-z0-9]', '', 'g')) > 0),
+qt AS (
+  SELECT DISTINCT query_id, d.term
+  FROM qre JOIN dict d
+    ON (CASE WHEN is_fuzzy THEN levenshtein(d.term, stem) <= dist
+             ELSE d.term = stem END)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+_BOOLEAN_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BOOLEAN_QUERYSET)
+# boolean replay: strongest op per (query, term) — NOT(0) < MUST(1) <
+# SHOULD(2) by min(); n_must counts OOV musts too (never satisfiable);
+# exclusions are distinct (query, doc) pairs anti-joined via NOT EXISTS
+ORACLES["bm25_topk_boolean"] = f"""
+WITH queries(query_id, text) AS (VALUES {_BOOLEAN_VALUES}),
+{_BM25_CTES},
+qtok AS (SELECT query_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         FROM queries),
+qop AS (
+  SELECT query_id, regexp_replace(tok, '[^a-z0-9]', '', 'g') AS term,
+         min(CASE WHEN tok LIKE '-%' THEN 0
+                  WHEN tok LIKE '+%' THEN 1 ELSE 2 END) AS r
+  FROM qtok
+  WHERE length(regexp_replace(tok, '[^a-z0-9]', '', 'g')) > 0
+  GROUP BY 1, 2),
+nmust AS (SELECT query_id, count(*) FILTER (r = 1) AS n_must FROM qop GROUP BY 1),
+excl AS (SELECT DISTINCT q.query_id, tf.doc_id
+         FROM qop q JOIN tf USING(term) WHERE q.r = 0),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score,
+         count(*) FILTER (q.r = 1) AS n_must_match
+  FROM qop q JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  WHERE q.r >= 1
+  GROUP BY 1, 2),
+final AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN nmust USING(query_id)
+  WHERE s.n_must_match = nmust.n_must
+    AND NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM final)
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
        doc_id::BIGINT AS doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= 10
@@ -2022,8 +2190,11 @@ QUERIES = {
     "bm25_topk_batch": q_bm25_batch,
     "bm25_conjunctive_indexed": q_bm25_conjunctive_indexed,
     "bm25_topk_deleted": q_bm25_deleted,
+    "facet_counts": q_facet_counts,
     "bm25_topk_updated": q_bm25_updated,
     "prefix_search": q_prefix_search,
+    "fuzzy_search": q_fuzzy_search,
+    "bm25_topk_boolean": q_bm25_boolean,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,

@@ -93,3 +93,88 @@ def test_rank_identical_vs_numpy_oracle(spark, docs_df):
 def test_oov_query_returns_nothing(spark, docs_df):
     got = _engine_topk(spark, docs_df)
     assert (got["query_id"] == 3).sum() == 0
+
+
+BOOL_QUERIES = [
+    (0, "table scan -merge"),
+    (1, "+join window"),
+    (2, "+zzzoov scan"),
+    (3, "group -zzzoov"),
+    (4, "+table -table"),
+    (5, "-table"),
+]
+
+
+def _boolean_oracle(texts, queries, k=10, k1=1.2, b=0.75):
+    """Pure-Python replay of Lucene BooleanQuery over BM25: strongest op
+    per term (NOT > MUST > SHOULD), all musts present, no nots present,
+    score summed over matched positives."""
+    import re
+
+    pat = re.compile(DEFAULT.token_pattern)
+    toks = {d: [t for t in pat.split(s.lower()) if t] for d, s in texts.items()}
+    n = len(toks)
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / n
+    tfs = {d: Counter(ts) for d, ts in toks.items()}
+    df = Counter()
+    for c in tfs.values():
+        for t in c:
+            df[t] += 1
+    out = []
+    for qid, qtext in queries:
+        ops: dict[str, int] = {}
+        for tok in qtext.lower().split():
+            r = 0 if tok.startswith("-") else 1 if tok.startswith("+") else 2
+            stem = re.sub(r"[^a-z0-9]", "", tok)
+            if stem:
+                ops[stem] = min(ops.get(stem, 9), r)
+        musts = {t for t, r in ops.items() if r == 1}
+        nots = {t for t, r in ops.items() if r == 0}
+        poss = {t for t, r in ops.items() if r >= 1}
+        scored = []
+        for d in toks:
+            if any(tfs[d].get(t) for t in nots):
+                continue
+            if not all(tfs[d].get(t) for t in musts):
+                continue
+            s = 0.0
+            for t in poss:
+                tf = tfs[d].get(t, 0)
+                if not tf:
+                    continue
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+            if s > 0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scored[:k], 1):
+            out.append((qid, r, d, s))
+    return pd.DataFrame(out, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def test_boolean_query_semantics(spark, docs_df):
+    from ivfadc_spark.operators import stats as S2
+    from ivfadc_spark.operators.query import bm25_topk_boolean
+
+    tf = S2.term_frequencies(docs_df)
+    dl = S2.doc_lengths(docs_df)
+    cs = S2.corpus_stats(dl)
+    d = S2.dictionary(tf, cs["n_docs"])
+    q = spark.createDataFrame(
+        pd.DataFrame(BOOL_QUERIES, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    got = (
+        bm25_topk_boolean(q, tf, d, dl, cs["avgdl"], k=10)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    # OOV must, contradiction, and all-negative queries return nothing
+    for dead_q in (2, 4, 5):
+        assert (got["query_id"] == dead_q).sum() == 0
+    texts = {r.doc_id: r.text for r in docs_df.collect()}
+    want = _boolean_oracle(texts, BOOL_QUERIES)
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)

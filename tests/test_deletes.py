@@ -166,3 +166,32 @@ def test_compaction_rescopes_stats_and_preserves_phrases(spark, seg, tmp_path):
     # doc_map attributes survive compaction
     assert {"role", "tool"} <= set(cseg.doc_map.columns)
     assert not set(cseg.doc_map.toPandas()["doc_id"]).intersection(dead)
+
+
+def test_facet_counts_matches_brute(spark, seg):
+    """facet_counts ≡ pandas replay: distinct matching docs per query
+    (OR semantics), tombstones excluded, counted per doc_map role; an
+    OOV-only query contributes no rows."""
+    from ivfadc_spark.operators.query import facet_counts
+
+    dead = set(tombstone_ids(seg).tolist())
+    assert dead  # ordering: after the tombstone test
+    queries = QUERIES + [(9, "zzzznope qqqnope")]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    got = facet_counts(qdf, seg, attr="role").toPandas()
+    assert (got["query_id"] == 9).sum() == 0
+
+    tf = decode_blocks(seg.blocks).select("doc_id", "term").toPandas()
+    dm = seg.doc_map.toPandas()[["doc_id", "role"]]
+    expect = {}
+    for qid, text in queries:
+        cand = set(tf[tf["term"].isin(text.split())]["doc_id"]) - dead
+        for role, n in dm[dm["doc_id"].isin(cand)]["role"].value_counts().items():
+            expect[(qid, role)] = int(n)
+    got_map = {
+        (int(r.query_id), r.role): int(r.n_docs) for r in got.itertuples()
+    }
+    assert got_map == expect

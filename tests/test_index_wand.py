@@ -290,3 +290,58 @@ def test_prefix_topk_equals_expanded_exact(spark, corpus):
     assert list(got["query_id"]) == list(want["query_id"])
     assert list(got["doc_id"]) == list(want["doc_id"])
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_fuzzy_topk_equals_expanded_exact(spark, corpus):
+    """fuzzy_topk('term001~') ≡ bm25_topk_indexed over the manually
+    expanded term set (plain Levenshtein, every expansion scores with its
+    own idf, the stem itself included at distance 0); ~2 widens the set;
+    a far-from-vocabulary stem matches nothing."""
+    import numpy as np
+
+    from ivfadc_spark.operators.wand import fuzzy_topk
+
+    tx, seg, out = corpus
+    vocab = [r["term"] for r in seg.dictionary.select("term").collect()]
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 2:
+            return 3
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp1 = sorted(t for t in vocab if lev(t, "term001") <= 1)
+    exp2 = sorted(t for t in vocab if lev(t, "headterm") <= 2)
+    assert "term001" in exp1 and len(exp1) > 1  # self + neighbors
+    assert len(exp2) >= 1
+
+    def qdf(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "text"]),
+            schema="query_id long, text string",
+        )
+
+    got = (
+        fuzzy_topk(
+            qdf([(0, "term001~"), (1, "wwwwwwwwwwww~"), (2, "headterm~2")]),
+            seg, k=10, cfg=CFG,
+        )
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert (got["query_id"] == 1).sum() == 0  # nothing within distance 1
+    want = (
+        bm25_topk_indexed(
+            qdf([(0, " ".join(exp1)), (2, " ".join(exp2))]), seg, k=10, cfg=CFG
+        )
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
