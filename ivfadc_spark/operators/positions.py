@@ -284,3 +284,79 @@ def phrase_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "n_occ")
     )
+
+
+HIGHLIGHT_RESULT_SCHEMA = (
+    "query_id long, rank int, doc_id long, term string, first_pos long, n_occ long"
+)
+
+
+def highlight_topk(
+    queries: DataFrame,
+    segment: Segment,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Search-result highlighting: for each query's BM25 top-k docs, every
+    matched query term's FIRST token offset (0-based) and occurrence count
+    — the Lucene unified-highlighter analog, read from the positional
+    sidecar / fused twin rows (the reference returns bare ranked ids,
+    /root/reference/SearchEngine.cpp:221-297; offsets are what a UI needs
+    to render snippets without re-tokenizing documents).
+
+    Plan: the normal block-pruned indexed top-k ranks docs; the winner set
+    (queries x k rows — tiny) and the query terms broadcast against the
+    positions source, probed with the same term IN + term_bucket partition
+    prune as phrase search. Positions of non-query terms or non-winner
+    docs are never read; per-doc work is two array expressions
+    (element_at, size), no Python. ``segment`` may be a SegmentSet (each
+    member contributes its positions source, doc ids shifted by doc_base).
+    """
+    from ivfadc_spark.functions.tokenize import tokens_col
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+
+    k = k or cfg.top_k
+    spark = segment.spark
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+
+    top = bm25_topk_indexed(queries, segment, k=k, cfg=cfg).select(
+        "query_id", "rank", "doc_id"
+    )
+    qt = queries.select(
+        "query_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term")
+    )
+    qt_rows = qt.collect()  # query metadata only — the documented broker
+    terms = sorted({r["term"] for r in qt_rows})
+    if not terms:
+        return spark.createDataFrame([], HIGHLIGHT_RESULT_SCHEMA)
+    buckets = sorted({
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    })
+    if isinstance(segment, SegmentSet):
+        positions = None
+        for s, off in zip(segment.segments, segment.offsets):
+            p = _member_positions(s, buckets, terms)
+            if off:
+                p = p.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(int(off))).cast("long")
+                )
+            positions = p if positions is None else positions.unionByName(p)
+    else:
+        positions = _member_positions(segment, buckets, terms)
+
+    qt_df = F.broadcast(spark.createDataFrame(qt_rows))
+    return (
+        positions.join(qt_df, "term")
+        .join(F.broadcast(top), ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "term",
+            F.element_at("positions", 1).cast("long").alias("first_pos"),
+            F.size("positions").cast("long").alias("n_occ"),
+        )
+    )

@@ -177,6 +177,17 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_highlight(spark, sf_dir):
+    """Highlighting: for each query's BM25 top-10 docs, every matched
+    query term's first token offset (0-based) and occurrence count, read
+    from the fused positional twin rows — the Lucene unified-highlighter
+    analog (bare ranked ids are useless to a UI without offsets)."""
+    from ivfadc_spark.operators.positions import highlight_topk
+
+    seg = _get_segment(spark, sf_dir, _POS_CFG, tag="fusedpos")
+    return highlight_topk(_queries_df(spark), seg, k=10)
+
+
 # Lucene boolean syntax: +term = MUST, -term = MUST_NOT, bare = SHOULD;
 # covers OOV MUST (matches nothing), OOV MUST_NOT (excludes nothing),
 # contradictions resolved strongest-op-first, and an all-negative query
@@ -1535,6 +1546,30 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+# highlighting replay: BM25 top-10 exactly as _BM25_TOPK_SQL, then each
+# (winner doc, query term) pair's first 0-based offset (list_position is
+# 1-based, 0 when absent) and occurrence count over the tokenized text
+ORACLES["highlight_topk"] = f"""
+WITH queries(query_id, text) AS (VALUES {{values}}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id FROM scored),
+dtok AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+SELECT r.query_id::BIGINT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, q.term,
+       (list_position(d.toks, q.term) - 1)::BIGINT AS first_pos,
+       length(list_filter(d.toks, x -> x = q.term))::BIGINT AS n_occ
+FROM ranked r JOIN qt q USING(query_id) JOIN dtok d USING(doc_id)
+WHERE r.rank <= 10 AND list_position(d.toks, q.term) > 0
+""".format(values=_values_sql())
+
 _BOOLEAN_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BOOLEAN_QUERYSET)
 # boolean replay: strongest op per (query, term) — NOT(0) < MUST(1) <
 # SHOULD(2) by min(); n_must counts OOV musts too (never satisfiable);
@@ -2195,6 +2230,7 @@ QUERIES = {
     "prefix_search": q_prefix_search,
     "fuzzy_search": q_fuzzy_search,
     "bm25_topk_boolean": q_bm25_boolean,
+    "highlight_topk": q_highlight,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,

@@ -514,3 +514,49 @@ def test_phrase_topk_over_segment_set(spark, tmp_path):
     got = phrase_topk(pqs, ss, k=10, cfg=cfg_f).orderBy("query_id", "rank").toPandas()
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def test_highlight_topk_matches_bruteforce(spark, tmp_path):
+    """highlight_topk offsets/counts == a per-doc token scan in pandas:
+    for each query's BM25 top-k docs, every present query term appears
+    with its first 0-based offset and occurrence count; absent terms and
+    non-winner docs contribute no rows."""
+    import re
+
+    from ivfadc_spark.operators.positions import build_positions, highlight_topk
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+
+    tx = synth_transcripts(spark, n_conversations=30)
+    seg = build_index(spark, tx, str(tmp_path / "hl"), cfg=CFG)
+    build_positions(spark, tx, seg.path, CFG)
+    queries = [(0, "headterm term000"), (1, "term001"), (2, "zzznope")]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    got = (
+        highlight_topk(qdf, seg, k=5)
+        .orderBy("query_id", "rank", "term")
+        .toPandas()
+    )
+    assert (got["query_id"] == 2).sum() == 0  # OOV query: no winners
+
+    top = (
+        bm25_topk_indexed(qdf, seg, k=5)
+        .select("query_id", "rank", "doc_id")
+        .toPandas()
+    )
+    pat = re.compile(r"[^a-z0-9]+")
+    texts = tx.orderBy("conv_id", "turn_idx").toPandas()["text"].tolist()
+    rows = []
+    for r in top.itertuples():
+        toks = [t for t in pat.split(texts[r.doc_id].lower()) if t]
+        for term in sorted({t for t in pat.split(dict(queries)[r.query_id].lower()) if t}):
+            occ = [i for i, t in enumerate(toks) if t == term]
+            if occ:
+                rows.append((r.query_id, r.rank, r.doc_id, term, occ[0], len(occ)))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "term", "first_pos", "n_occ"]
+    ).sort_values(["query_id", "rank", "term"]).reset_index(drop=True)
+    gg = got[["query_id", "rank", "doc_id", "term", "first_pos", "n_occ"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(gg, want, check_dtype=False)
