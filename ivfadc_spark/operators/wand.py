@@ -914,3 +914,67 @@ def fuzzy_topk(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
     return _topk_scan_from_qt(segment, qt, k, k1, b, avgdl, _lm, None)
+
+
+def mlt_topk(
+    seed_ids,
+    segment: Segment,
+    docs: DataFrame,
+    k: int | None = None,
+    max_terms: int = 10,
+    cfg: EngineConfig = DEFAULT,
+    doc_mask: "np.ndarray | None" = None,
+) -> DataFrame:
+    """More-Like-This: for each seed doc, the top-k most similar OTHER docs
+    — Lucene's MoreLikeThis rewrite: the seed's terms are ranked by
+    tf x idf (ties by term asc), the best ``max_terms`` become an OR query
+    that scores through the normal BM25 kernel, and the seed itself is
+    excluded from its results. query_id in the output IS the seed doc_id.
+
+    Scale shape: seed term vectors come from the SOURCE docs table, not
+    the index — postings are term-major, so reading a doc's vector from
+    blocks would scan every term, while ``docs.filter(doc_id IN seeds)``
+    is a predicate-pushdown point lookup (Lucene reads its stored
+    per-doc term vectors to the same end). Seed stats are seed-sized,
+    idf comes from the broadcast dictionary, and the expanded
+    (query_id, term) set drives the shared block-pruned MaxScore scan.
+    """
+    from pyspark.sql.window import Window
+
+    from ivfadc_spark.functions.tokenize import tokens_col
+    from ivfadc_spark.operators.deletes import combine_masks, live_mask
+
+    k = k or cfg.top_k
+    k1, b = float(cfg.k1), float(cfg.b)
+    avgdl = float(segment.meta["avgdl"])
+    _lm = combine_masks(live_mask(segment), doc_mask)
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+
+    seeds = docs.filter(
+        F.col("doc_id").isin([int(x) for x in seed_ids])
+    ).select(F.col("doc_id").alias("query_id"), "text")
+    stf = (
+        seeds.select("query_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    w = stf.join(
+        F.broadcast(segment.dictionary.select("term", "idf")), "term"
+    ).withColumn("weight", F.col("tf") * F.col("idf"))
+    sel = Window.partitionBy("query_id").orderBy(F.desc("weight"), F.asc("term"))
+    qt = (
+        w.withColumn("rn", F.row_number().over(sel))
+        .filter(F.col("rn") <= int(max_terms))
+        .select("query_id", "term", "idf")
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    res = _topk_scan_from_qt(segment, qt, k + 1, k1, b, avgdl, _lm, None)
+    rerank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.filter(F.col("doc_id") != F.col("query_id"))  # k+1 absorbs the self-hit
+        .withColumn("rank", F.row_number().over(rerank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -177,6 +177,22 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+MLT_SEEDS = [3, 57, 211, 404]
+
+
+def q_more_like_this(spark, sf_dir):
+    """More-Like-This: each seed doc's top-10 tf x idf terms become an OR
+    query through the normal BM25 kernel; the seed itself is excluded.
+    Seed term vectors read from the SOURCE docs table (doc_id pushdown
+    point lookup), never by scanning the term-major index."""
+    from ivfadc_spark.operators.wand import mlt_topk
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    res = mlt_topk(MLT_SEEDS, seg, docs, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_highlight(spark, sf_dir):
     """Highlighting: for each query's BM25 top-10 docs, every matched
     query term's first token offset (0-based) and occurrence count, read
@@ -1546,6 +1562,35 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+# More-Like-This replay: per seed, terms ranked by tf x idf (ties term
+# asc), top 10 become the OR query; the seed is excluded from candidates
+_MLT_IDS = ", ".join(str(i) for i in MLT_SEEDS)
+ORACLES["more_like_this"] = f"""
+WITH {_BM25_CTES},
+seedw AS (
+  SELECT tf.doc_id AS query_id, tf.term,
+         tf.tf * ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0) AS weight
+  FROM tf JOIN dict USING(term), stats
+  WHERE tf.doc_id IN ({_MLT_IDS})),
+qt AS (SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY weight DESC, term) AS rn
+    FROM seedw) WHERE rn <= 10),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  WHERE tf.doc_id <> qt.query_id
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
 # highlighting replay: BM25 top-10 exactly as _BM25_TOPK_SQL, then each
 # (winner doc, query term) pair's first 0-based offset (list_position is
 # 1-based, 0 when absent) and occurrence count over the tokenized text
@@ -2231,6 +2276,7 @@ QUERIES = {
     "fuzzy_search": q_fuzzy_search,
     "bm25_topk_boolean": q_bm25_boolean,
     "highlight_topk": q_highlight,
+    "more_like_this": q_more_like_this,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,

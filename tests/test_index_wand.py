@@ -345,3 +345,53 @@ def test_fuzzy_topk_equals_expanded_exact(spark, corpus):
     assert list(got["query_id"]) == list(want["query_id"])
     assert list(got["doc_id"]) == list(want["doc_id"])
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_mlt_topk_equals_manual_expansion(spark, corpus):
+    """mlt_topk(seed) ≡ bm25_topk_indexed over the seed's manually-ranked
+    top tf x idf terms, seed excluded; an absent seed id yields no rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.operators.wand import mlt_topk
+
+    tx, seg, out = corpus
+    # source docs in doc_id order (assign_doc_ids is (conv_id, turn_idx))
+    src = tx.orderBy("conv_id", "turn_idx").toPandas()
+    src["doc_id"] = range(len(src))
+    docs = spark.createDataFrame(src[["doc_id", "text"]])
+    seed = 7
+
+    got = (
+        mlt_topk([seed, 10**9], seg, docs, k=10, max_terms=5, cfg=CFG)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert set(got["query_id"]) == {seed}  # absent seed contributes nothing
+    assert seed not in set(got["doc_id"])  # self excluded
+
+    # manual expansion: seed's terms ranked by tf * idf, ties term asc
+    import re
+    from collections import Counter
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", src["text"][seed].lower()) if t]
+    idf = {r["term"]: r["idf"] for r in seg.dictionary.collect()}
+    tfs = Counter(toks)
+    ranked = sorted(
+        ((t, c * idf[t]) for t, c in tfs.items() if t in idf),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    qdf = spark.createDataFrame(
+        pd.DataFrame([(seed, " ".join(t for t, _ in ranked))],
+                     columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    want = (
+        bm25_topk_indexed(qdf, seg, k=11, cfg=CFG)
+        .filter(F.col("doc_id") != seed)
+        .orderBy("rank")
+        .limit(10)
+        .toPandas()
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
