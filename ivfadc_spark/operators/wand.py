@@ -978,3 +978,63 @@ def mlt_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def suggest_terms(
+    queries: DataFrame,
+    segment: Segment,
+    max_dist: int = 2,
+    n_suggest: int = 3,
+) -> DataFrame:
+    """Did-you-mean: for each OUT-OF-VOCABULARY query token, the top
+    spelling suggestions from the term dictionary — ranked by edit
+    distance asc, then document frequency desc, then term asc (the Lucene
+    DirectSpellChecker default comparator). In-vocabulary tokens produce
+    no rows (nothing to correct); tokens with no dictionary term within
+    ``max_dist`` produce none either.
+
+    Output: (query_id, token, suggestion, dist, df).
+
+    Scale shape: same as :func:`fuzzy_topk`'s expansion — the OOV token
+    set is tiny and broadcasts against ONE dictionary pass (length-band
+    prune ahead of levenshtein); the ranking window partitions by
+    (query, token) over at most vocabulary-sized candidates. Postings are
+    never touched.
+    """
+    from pyspark.sql.window import Window
+
+    from ivfadc_spark.functions.tokenize import tokens_col
+
+    toks = (
+        queries.select(
+            "query_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token")
+        )
+        .distinct()
+        .join(
+            F.broadcast(
+                segment.dictionary.select(F.col("term").alias("token"))
+            ),
+            "token",
+            "left_anti",  # only OOV tokens need correcting
+        )
+    )
+    cand = segment.dictionary.select("term", "df").join(
+        F.broadcast(toks),
+        F.abs(F.length("term") - F.length("token")) <= F.lit(int(max_dist)),
+    ).withColumn("dist", F.levenshtein(F.col("term"), F.col("token"))).filter(
+        F.col("dist") <= int(max_dist)
+    )
+    sel = Window.partitionBy("query_id", "token").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(sel))
+        .filter(F.col("rn") <= int(n_suggest))
+        .select(
+            "query_id",
+            "token",
+            F.col("term").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )

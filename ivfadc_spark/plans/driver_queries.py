@@ -177,6 +177,31 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# misspellings of known vocabulary, an in-vocabulary word (no rows), and
+# a hopeless token (nothing within distance 2)
+SUGGEST_QUERYSET = [
+    (0, "tabel scen"),
+    (1, "quer joinn"),
+    (2, "scan"),
+    (3, "zzzzzzzzzz"),
+    (4, "custmer window"),
+]
+
+
+def q_suggest_terms(spark, sf_dir):
+    """Did-you-mean: top-3 dictionary suggestions per OOV query token,
+    ranked by edit distance asc, df desc, term asc (the Lucene
+    DirectSpellChecker comparator); in-vocabulary tokens yield nothing."""
+    from ivfadc_spark.operators.wand import suggest_terms
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    sq = spark.createDataFrame(
+        pd.DataFrame(SUGGEST_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    return suggest_terms(sq, seg, max_dist=2, n_suggest=3)
+
+
 MLT_SEEDS = [3, 57, 211, 404]
 
 
@@ -1562,6 +1587,29 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+# did-you-mean replay: OOV tokens only; suggestions ranked (dist asc,
+# df desc, term asc), top 3 per token
+_SUGGEST_VALUES = ", ".join(f"({i}, '{t}')" for i, t in SUGGEST_QUERYSET)
+ORACLES["suggest_terms"] = f"""
+WITH queries(query_id, text) AS (VALUES {_SUGGEST_VALUES}),
+{_BM25_CTES},
+qtok AS (SELECT DISTINCT query_id, unnest(list_distinct({_TOK})) AS token
+         FROM queries),
+oov AS (SELECT q.query_id, q.token FROM qtok q
+        LEFT JOIN dict d ON d.term = q.token WHERE d.term IS NULL),
+cand AS (
+  SELECT o.query_id, o.token, d.term AS suggestion,
+         levenshtein(d.term, o.token) AS dist, d.df
+  FROM oov o JOIN dict d
+    ON abs(length(d.term) - length(o.token)) <= 2
+  WHERE levenshtein(d.term, o.token) <= 2),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id, token
+                  ORDER BY dist, df DESC, suggestion) AS rn FROM cand)
+SELECT query_id::BIGINT AS query_id, token, suggestion,
+       dist::INT AS dist, df::BIGINT AS df
+FROM ranked WHERE rn <= 3
+"""
+
 # More-Like-This replay: per seed, terms ranked by tf x idf (ties term
 # asc), top 10 become the OR query; the seed is excluded from candidates
 _MLT_IDS = ", ".join(str(i) for i in MLT_SEEDS)
@@ -2277,6 +2325,7 @@ QUERIES = {
     "bm25_topk_boolean": q_bm25_boolean,
     "highlight_topk": q_highlight,
     "more_like_this": q_more_like_this,
+    "suggest_terms": q_suggest_terms,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,

@@ -395,3 +395,52 @@ def test_mlt_topk_equals_manual_expansion(spark, corpus):
     )
     assert list(got["doc_id"]) == list(want["doc_id"])
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_suggest_terms_ranking(spark, corpus):
+    """suggest_terms ≡ python replay: OOV tokens only, ranked by
+    (levenshtein asc, df desc, term asc), top-n per token."""
+    from ivfadc_spark.operators.wand import suggest_terms
+
+    tx, seg, out = corpus
+    d = {r["term"]: r["df"] for r in seg.dictionary.collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    queries = [(0, "term00 headtrm"), (1, "headterm"), (2, "qqqqqqqqqqqq")]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    got = (
+        suggest_terms(qdf, seg, max_dist=2, n_suggest=3)
+        .orderBy("query_id", "token", "dist", "suggestion")
+        .toPandas()
+    )
+    assert (got["query_id"] == 1).sum() == 0  # in-vocabulary: nothing
+    assert (got["query_id"] == 2).sum() == 0  # hopeless: nothing
+
+    rows = []
+    for qid, text in queries:
+        for token in sorted(set(text.split())):
+            if token in d:
+                continue
+            cand = sorted(
+                ((t, lev(t, token), n) for t, n in d.items()
+                 if abs(len(t) - len(token)) <= 2 and lev(t, token) <= 2),
+                key=lambda x: (x[1], -x[2], x[0]),
+            )[:3]
+            rows.extend((qid, token, t, dd, n) for t, dd, n in cand)
+    want = (
+        pd.DataFrame(rows, columns=["query_id", "token", "suggestion", "dist", "df"])
+        .sort_values(["query_id", "token", "dist", "suggestion"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
