@@ -360,3 +360,89 @@ def highlight_topk(
             F.size("positions").cast("long").alias("n_occ"),
         )
     )
+
+
+def near_topk(
+    queries: DataFrame,
+    segment: Segment,
+    slop: int = 2,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Ordered two-term proximity search (``A NEAR/slop B`` — the Lucene
+    SpanNearQuery(ordered) analog): an occurrence is a position p0 of the
+    first term with SOME position p1 of the second term in
+    (p0, p0 + slop + 1]; each start position counts once, so slop=0 is
+    exact bigram adjacency (consistent with :func:`phrase_topk`). Ranked
+    by occurrence count desc then doc_id; zero-count docs drop out.
+    Every query must tokenize to exactly two terms.
+
+    Scale shape: same positions probe as phrase search (term IN +
+    term_bucket partition prune); the per-doc count is a higher-order
+    array expression (filter/exists — JVM codegen, no Python), O(|P0|x|P1|)
+    on in-doc occurrence lists only. SegmentSet-aware via doc_base shifts.
+    """
+    from ivfadc_spark.functions.tokenize import tokens_col
+
+    k = k or cfg.top_k
+    spark = segment.spark
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+
+    qrows = queries.select(
+        "query_id", tokens_col("text").alias("toks")
+    ).collect()  # query metadata only — the documented broker
+    bad = [r["query_id"] for r in qrows if len(r["toks"]) != 2]
+    if bad:
+        raise ValueError(f"near_topk: queries must have exactly two terms, got {bad}")
+    if not qrows:
+        return spark.createDataFrame([], PHRASE_RESULT_SCHEMA)
+    terms = sorted({t for r in qrows for t in r["toks"]})
+    buckets = sorted({
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    })
+    if isinstance(segment, SegmentSet):
+        positions = None
+        for s, off in zip(segment.segments, segment.offsets):
+            p = _member_positions(s, buckets, terms)
+            if off:
+                p = p.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(int(off))).cast("long")
+                )
+            positions = p if positions is None else positions.unionByName(p)
+    else:
+        positions = _member_positions(segment, buckets, terms)
+
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["toks"][0], r["toks"][1]) for r in qrows],
+        "query_id long, t0 string, t1 string",
+    )
+    p0 = positions.join(
+        F.broadcast(pairs.select("query_id", F.col("t0").alias("term"))), "term"
+    ).select("query_id", "doc_id", F.col("positions").alias("p0s"))
+    p1 = positions.join(
+        F.broadcast(pairs.select("query_id", F.col("t1").alias("term"))), "term"
+    ).select("query_id", "doc_id", F.col("positions").alias("p1s"))
+    win = int(slop) + 1
+    cand = p0.join(p1, ["query_id", "doc_id"]).select(
+        "query_id",
+        "doc_id",
+        F.size(
+            F.filter(
+                "p0s",
+                lambda a: F.exists(
+                    "p1s", lambda b: (b > a) & (b <= a + F.lit(win))
+                ),
+            )
+        ).cast("long").alias("n_occ"),
+    ).filter(F.col("n_occ") > 0)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_occ")
+    )

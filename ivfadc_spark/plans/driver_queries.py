@@ -177,6 +177,33 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# ordered two-term proximity queries: common testdata bigrams at slop=3,
+# plus a pair that never co-occurs nearby and an OOV pair
+NEAR_QUERYSET = [
+    (0, "table scan"),
+    (1, "sort merge"),
+    (2, "query plan"),
+    (3, "customer window"),
+    (4, "zzzq wwwk"),
+]
+
+
+def q_near_search(spark, sf_dir):
+    """Proximity search (A NEAR/3 B, ordered): occurrences are first-term
+    positions with a second-term position within the next slop+1 tokens,
+    counted once per start; ranked by count. Positions probed with the
+    same term_bucket pruning as phrase search; the count is a codegen'd
+    higher-order array expression."""
+    from ivfadc_spark.operators.positions import near_topk
+
+    seg = _get_segment(spark, sf_dir, _POS_CFG, tag="fusedpos")
+    nq = spark.createDataFrame(
+        pd.DataFrame(NEAR_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    return near_topk(nq, seg, slop=3, k=10)
+
+
 # misspellings of known vocabulary, an in-vocabulary word (no rows), and
 # a hopeless token (nothing within distance 2)
 SUGGEST_QUERYSET = [
@@ -1587,6 +1614,31 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+# proximity replay: per-token positions via generate_subscripts; an
+# occurrence is a t0 position with SOME t1 position in (p0, p0+slop+1],
+# counted once per start (slop=3 -> window 4)
+_NEAR_VALUES = ", ".join(f"({i}, '{t}')" for i, t in NEAR_QUERYSET)
+ORACLES["near_search"] = f"""
+WITH queries(query_id, text) AS (VALUES {_NEAR_VALUES}),
+qre AS (SELECT query_id, toks[1] AS t0, toks[2] AS t1
+        FROM (SELECT query_id, {_TOK} AS toks FROM queries)),
+dtok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos FROM dtok),
+m AS (
+  SELECT q.query_id, p0.doc_id, count(*) AS n_occ
+  FROM qre q JOIN p p0 ON p0.tok = q.t0
+  WHERE EXISTS (SELECT 1 FROM p p1
+                WHERE p1.doc_id = p0.doc_id AND p1.tok = q.t1
+                  AND p1.pos > p0.pos AND p1.pos <= p0.pos + 4)
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY n_occ DESC, doc_id) AS rank, doc_id, n_occ FROM m)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, n_occ::BIGINT AS n_occ
+FROM ranked WHERE rank <= 10
+"""
+
 # did-you-mean replay: OOV tokens only; suggestions ranked (dist asc,
 # df desc, term asc), top 3 per token
 _SUGGEST_VALUES = ", ".join(f"({i}, '{t}')" for i, t in SUGGEST_QUERYSET)
@@ -2326,6 +2378,7 @@ QUERIES = {
     "highlight_topk": q_highlight,
     "more_like_this": q_more_like_this,
     "suggest_terms": q_suggest_terms,
+    "near_search": q_near_search,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,

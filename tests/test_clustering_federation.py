@@ -560,3 +560,61 @@ def test_highlight_topk_matches_bruteforce(spark, tmp_path):
     ).sort_values(["query_id", "rank", "term"]).reset_index(drop=True)
     gg = got[["query_id", "rank", "doc_id", "term", "first_pos", "n_occ"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(gg, want, check_dtype=False)
+
+
+def test_near_topk_matches_bruteforce_and_slop0_is_phrase(spark, tmp_path):
+    """near_topk counts == a per-doc position scan in pandas; slop=0
+    reduces to exact bigram adjacency == phrase_topk on the same bigram."""
+    import re
+
+    from ivfadc_spark.operators.positions import build_positions, near_topk, phrase_topk
+
+    tx = synth_transcripts(spark, n_conversations=30)
+    seg = build_index(spark, tx, str(tmp_path / "nr"), cfg=CFG)
+    build_positions(spark, tx, seg.path, CFG)
+    queries = [(0, "headterm term000"), (1, "term001 term000")]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    slop = 2
+    got = near_topk(qdf, seg, slop=slop, k=50).orderBy("query_id", "rank").toPandas()
+
+    pat = re.compile(r"[^a-z0-9]+")
+    texts = tx.orderBy("conv_id", "turn_idx").toPandas()["text"].tolist()
+    rows = []
+    for qid, text in queries:
+        t0, t1 = text.split()
+        for d, s in enumerate(texts):
+            toks = [t for t in pat.split(s.lower()) if t]
+            P0 = [i for i, t in enumerate(toks) if t == t0]
+            P1 = [i for i, t in enumerate(toks) if t == t1]
+            n = sum(1 for a in P0 if any(a < b <= a + slop + 1 for b in P1))
+            if n:
+                rows.append((qid, d, n))
+    want = pd.DataFrame(rows, columns=["query_id", "doc_id", "n_occ"])
+    want["rank"] = (
+        want.sort_values(["query_id", "n_occ", "doc_id"], ascending=[True, False, True])
+        .groupby("query_id")
+        .cumcount()
+        + 1
+    )
+    want = (
+        want[want["rank"] <= 50]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)[["query_id", "rank", "doc_id", "n_occ"]]
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "n_occ"]].reset_index(drop=True),
+        want,
+        check_dtype=False,
+    )
+
+    # slop=0 == exact phrase occurrence counts for the bigram
+    near0 = near_topk(qdf, seg, slop=0, k=50).toPandas()
+    ph = phrase_topk(qdf, seg, k=50, cfg=CFG).toPandas()
+    a = near0[["query_id", "doc_id", "n_occ"]].sort_values(
+        ["query_id", "doc_id"]).reset_index(drop=True)
+    b = ph[["query_id", "doc_id", "n_occ"]].sort_values(
+        ["query_id", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
