@@ -1038,3 +1038,70 @@ def suggest_terms(
             F.col("df").cast("long").alias("df"),
         )
     )
+
+
+def regex_topk(
+    queries: DataFrame,
+    segment: Segment,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    doc_mask: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Top-k BM25 with Lucene RegexpQuery terms: a whitespace token wrapped
+    in slashes (``/sc.n/``) expands to every dictionary term whose ENTIRE
+    text matches the pattern (anchored ``^pat$`` — Lucene regexp semantics);
+    plain tokens behave exactly as in ``bm25_topk_indexed``. Same scoring
+    multi-term rewrite as :func:`prefix_topk` / :func:`fuzzy_topk`: each
+    expansion scores with its own idf, deduped per query.
+
+    Scale shape: fully declarative — the tiny pattern set broadcasts
+    against ONE dictionary pass (a broadcast nested-loop join evaluating
+    regexp_like per (term, pattern)); postings are never touched by
+    expansion, and the expanded set drives the shared block-pruned
+    MaxScore scan. Lucene compiles the regex to an automaton and
+    intersects it with the term FST — the O(vocabulary) columnar scan is
+    the Spark-native equivalent over a corpus-bounded vocabulary.
+    """
+    from ivfadc_spark.operators.deletes import combine_masks, live_mask
+
+    k = k or cfg.top_k
+    k1, b = float(cfg.k1), float(cfg.b)
+    avgdl = float(segment.meta["avgdl"])
+    _lm = combine_masks(live_mask(segment), doc_mask)
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+
+    toks = (
+        queries.select(
+            "query_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .withColumn(
+            "is_re", F.col("tok").rlike("^/.+/$")
+        )
+        .withColumn(
+            "pat",
+            F.concat(
+                F.lit("^"),
+                F.expr("substring(tok, 2, length(tok) - 2)"),
+                F.lit("$"),
+            ),
+        )
+        .withColumn("stem", F.regexp_replace("tok", "[^a-z0-9]", ""))
+        .select("query_id", "tok", "is_re", "pat", "stem")
+        .distinct()
+    )
+    d = segment.dictionary.select("term", "idf")
+    exact = (
+        toks.filter(~F.col("is_re") & (F.length("stem") > 0))
+        .select("query_id", F.col("stem").alias("term"))
+        .join(F.broadcast(d), "term")
+        .select("query_id", "term", "idf")
+    )
+    pats = toks.filter("is_re").select("query_id", "pat")
+    expanded = d.join(
+        F.broadcast(pats), F.regexp_like(F.col("term"), F.col("pat"))
+    ).select("query_id", "term", "idf")
+    qt = exact.unionByName(expanded).distinct().withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    return _topk_scan_from_qt(segment, qt, k, k1, b, avgdl, _lm, None)

@@ -177,6 +177,34 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# regexp terms (slash-wrapped, whole-term anchored), mixed with exact
+# tokens; one pattern matches nothing
+REGEX_QUERYSET = [
+    (0, "/sc.n/ merge"),
+    (1, "/gro.p/"),
+    (2, "/[tf]able/"),
+    (3, "/zzz.*/"),
+    (4, "/.*dow/ query"),
+    (5, "plan /qu.+y/"),
+]
+
+
+def q_regex_search(spark, sf_dir):
+    """Regexp term search (Lucene RegexpQuery): slash-wrapped tokens
+    expand to every dictionary term whose whole text matches the anchored
+    pattern — one broadcast nested-loop dictionary pass; each expansion
+    scores with its own idf through the shared MaxScore scan."""
+    from ivfadc_spark.operators.wand import regex_topk
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    rq = spark.createDataFrame(
+        pd.DataFrame(REGEX_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    res = regex_topk(rq, seg, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 # ordered two-term proximity queries: common testdata bigrams at slop=3,
 # plus a pair that never co-occurs nearby and an OOV pair
 NEAR_QUERYSET = [
@@ -1614,6 +1642,38 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+# regexp replay: slash-wrapped tokens join the dictionary on anchored
+# regexp_matches, plain tokens on equality; scoring as _BM25_TOPK_SQL
+_REGEX_VALUES = ", ".join(f"({i}, '{t}')" for i, t in REGEX_QUERYSET)
+ORACLES["regex_search"] = f"""
+WITH queries(query_id, text) AS (VALUES {_REGEX_VALUES}),
+{_BM25_CTES},
+qtok AS (SELECT query_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         FROM queries),
+qre AS (
+  SELECT query_id, tok,
+         tok LIKE '/%/' AND length(tok) > 2 AS is_re,
+         '^' || substr(tok, 2, length(tok) - 2) || '$' AS pat,
+         regexp_replace(tok, '[^a-z0-9]', '', 'g') AS stem
+  FROM qtok),
+qt AS (
+  SELECT DISTINCT query_id, d.term
+  FROM qre JOIN dict d
+    ON (CASE WHEN is_re THEN regexp_matches(d.term, pat)
+             ELSE length(stem) > 0 AND d.term = stem END)),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
 # proximity replay: per-token positions via generate_subscripts; an
 # occurrence is a t0 position with SOME t1 position in (p0, p0+slop+1],
 # counted once per start (slop=3 -> window 4)
@@ -2379,6 +2439,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "suggest_terms": q_suggest_terms,
     "near_search": q_near_search,
+    "regex_search": q_regex_search,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,

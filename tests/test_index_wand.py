@@ -444,3 +444,45 @@ def test_suggest_terms_ranking(spark, corpus):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_regex_topk_anchored_expansion(spark, corpus):
+    """regex_topk(/term00./) ≡ bm25_topk_indexed over the manually rlike'd
+    vocab; patterns match the WHOLE term (a substring match like /erm00/
+    expands to nothing); a no-match pattern yields no rows."""
+    import re as _re
+
+    import numpy as np
+
+    from ivfadc_spark.operators.wand import regex_topk
+
+    tx, seg, out = corpus
+    vocab = [r["term"] for r in seg.dictionary.select("term").collect()]
+    exp = sorted(t for t in vocab if _re.fullmatch("term00.", t))
+    assert len(exp) > 1
+
+    def qdf(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "text"]),
+            schema="query_id long, text string",
+        )
+
+    got = (
+        regex_topk(
+            qdf([(0, "/term00./"), (1, "/erm00/"), (2, "/zzz.*/ headterm")]),
+            seg, k=10, cfg=CFG,
+        )
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert (got["query_id"] == 1).sum() == 0  # substring never whole-matches
+    want = (
+        bm25_topk_indexed(
+            qdf([(0, " ".join(exp)), (2, "headterm")]), seg, k=10, cfg=CFG
+        )
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
