@@ -172,11 +172,17 @@ def facet_counts(
         .select("query_id", "doc_id")
         .distinct()
     )
-    from ivfadc_spark.operators.deletes import tombstone_ids
+    import numpy as np
 
-    dead = tombstone_ids(segment) if not hasattr(segment, "segments") else None
-    if dead is not None and dead.size:
-        dead_df = spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
+    from ivfadc_spark.operators.deletes import live_mask
+
+    # live_mask handles Segment AND SegmentSet (member masks concatenate
+    # at the federation's doc_base offsets)
+    lm = live_mask(segment)
+    if lm is not None and not lm.all():
+        dead_df = spark.createDataFrame(
+            [(int(x),) for x in np.flatnonzero(~lm)], "doc_id long"
+        )
         cand = cand.join(F.broadcast(dead_df), "doc_id", "left_anti")
     dm = segment.doc_map.select("doc_id", attr)
     return (

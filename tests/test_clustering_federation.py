@@ -618,3 +618,45 @@ def test_near_topk_matches_bruteforce_and_slop0_is_phrase(spark, tmp_path):
     b = ph[["query_id", "doc_id", "n_occ"]].sort_values(
         ["query_id", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_facet_counts_over_segment_set_with_tombstones(spark, tmp_path):
+    """Facets through a SegmentSet == facets over one whole-corpus segment
+    with the SAME docs tombstoned: per-member deletes map through
+    doc_base offsets into the federation's id space."""
+    from ivfadc_spark.operators.deletes import delete_docs
+    from ivfadc_spark.operators.query import facet_counts
+
+    tx = synth_transcripts(spark, n_conversations=40)
+    whole = build_index(spark, tx, str(tmp_path / "fw"), cfg=CFG)
+    a = build_index(
+        spark, tx.filter("conv_id < 'conv-000020'"), str(tmp_path / "fa"), cfg=CFG
+    )
+    b = build_index(
+        spark, tx.filter("conv_id >= 'conv-000020'"), str(tmp_path / "fb"), cfg=CFG
+    )
+    # delete some docs in member b (local ids); the same docs in the whole
+    # segment live at doc_base + local id (conv ordering == doc_id ordering)
+    dead_local = [0, 3, 9]
+    delete_docs(b, dead_local)
+    base = int(a.doc_space)
+    delete_docs(whole, [base + d for d in dead_local])
+    ss = SegmentSet(spark, [a.path, b.path])
+
+    queries = [(0, "headterm term000"), (1, "term001")]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    want = (
+        facet_counts(qdf, whole, attr="role")
+        .orderBy("query_id", "role")
+        .toPandas()
+    )
+    got = (
+        facet_counts(qdf, ss, attr="role")
+        .orderBy("query_id", "role")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
