@@ -177,6 +177,40 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# unified parser queries: every clause form the grammar supports, mixed
+# (+must / -not, prefix, fuzzy, regex, 2-term phrases — the SQL replay
+# handles 2-term phrases; longer phrases are pytest-covered)
+PARSER_QUERYSET = [
+    (0, "+table scan -merge"),
+    (1, "quer* +plan"),
+    (2, "tabl~1 window"),
+    (3, "/sc.n/ -filter"),
+    (4, '"table scan" customer'),
+    (5, '-"table scan" table'),
+    (6, "+zzznope scan"),
+    (7, '+"sort merge" quer*'),
+]
+
+
+def q_query_parser(spark, sf_dir):
+    """Unified query strings (the Lucene QueryParser analog): one string
+    mixes +must / -not, prefix*, fuzzy~, /regex/ and "quoted phrases";
+    multi-term clauses satisfy MUST when any expansion matches, scoring
+    is the deduped BM25 union of positive expansions (phrase terms
+    included), phrases filter by exact adjacency. The oracle replays the
+    semantics from the parser's clause table (the parse itself is a pure
+    function pinned by tests/test_queryparse.py)."""
+    from ivfadc_spark.operators.queryparse import search_topk
+
+    seg = _get_segment(spark, sf_dir, _POS_CFG, tag="fusedpos")
+    qdf = spark.createDataFrame(
+        pd.DataFrame(PARSER_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    res = search_topk(qdf, seg, k=10, cfg=_POS_CFG)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 # regexp terms (slash-wrapped, whole-term anchored), mixed with exact
 # tokens; one pattern matches nothing
 REGEX_QUERYSET = [
@@ -1642,6 +1676,87 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+# unified-parser replay: the clause table comes from the SAME pure parser
+# the engine uses (pinned by tests/test_queryparse.py); the SQL verifies
+# everything downstream of the parse — expansion, must/not/phrase
+# filtering, deduped scoring. Phrases here are 2-term (adjacency EXISTS).
+def _parser_clause_values() -> str:
+    from ivfadc_spark.operators.queryparse import parse_queries
+
+    rows = parse_queries(PARSER_QUERYSET)
+    return ", ".join(
+        f"({q}, {c}, {op}, '{kind}', '{p0}', {p1})" for q, c, op, kind, p0, p1 in rows
+    )
+
+
+ORACLES["query_parser"] = f"""
+WITH clauses(query_id, clause_id, op, kind, p0, p1) AS
+     (VALUES {_parser_clause_values()}),
+{_BM25_CTES},
+dtok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos FROM dtok),
+exp AS (
+  SELECT c.query_id, c.clause_id, c.op, d.term
+  FROM clauses c JOIN dict d ON
+    CASE c.kind
+      WHEN 'exact' THEN d.term = c.p0
+      WHEN 'prefix' THEN d.term LIKE c.p0 || '%'
+      WHEN 'fuzzy' THEN abs(length(d.term) - length(c.p0)) <= c.p1
+                        AND levenshtein(d.term, c.p0) <= c.p1
+      WHEN 'regex' THEN regexp_matches(d.term, '^' || c.p0 || '$')
+      ELSE FALSE END),
+pterm AS (
+  SELECT DISTINCT c.query_id, d.term
+  FROM clauses c JOIN dict d
+    ON d.term IN (split_part(c.p0, ' ', 1), split_part(c.p0, ' ', 2))
+  WHERE c.kind = 'phrase' AND c.op <> 0),
+score_terms AS (
+  SELECT DISTINCT query_id, term FROM exp WHERE op <> 0
+  UNION SELECT query_id, term FROM pterm),
+scored AS (
+  SELECT st.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM score_terms st JOIN dict USING(term) JOIN tf USING(term)
+       JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+havemust AS (
+  SELECT e.query_id, tf.doc_id, count(DISTINCT e.clause_id) AS n
+  FROM exp e JOIN tf USING(term) WHERE e.op = 1 GROUP BY 1, 2),
+needmust AS (
+  SELECT query_id,
+         count(*) FILTER (op = 1 AND kind <> 'phrase') AS n_must,
+         count(*) FILTER (op = 1 AND kind = 'phrase') AS n_pmust
+  FROM clauses GROUP BY 1),
+phmatch AS (
+  SELECT DISTINCT c.query_id, c.clause_id, c.op, p0.doc_id
+  FROM clauses c JOIN p p0 ON p0.tok = split_part(c.p0, ' ', 1)
+  WHERE c.kind = 'phrase'
+    AND EXISTS (SELECT 1 FROM p p1 WHERE p1.doc_id = p0.doc_id
+                AND p1.tok = split_part(c.p0, ' ', 2) AND p1.pos = p0.pos + 1)),
+havepm AS (SELECT query_id, doc_id, count(DISTINCT clause_id) AS n
+           FROM phmatch WHERE op = 1 GROUP BY 1, 2),
+excl AS (
+  SELECT DISTINCT e.query_id, tf.doc_id FROM exp e JOIN tf USING(term)
+  WHERE e.op = 0
+  UNION SELECT DISTINCT query_id, doc_id FROM phmatch WHERE op = 0),
+final AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  JOIN needmust nm USING(query_id)
+  LEFT JOIN havemust hm ON hm.query_id = s.query_id AND hm.doc_id = s.doc_id
+  LEFT JOIN havepm hp ON hp.query_id = s.query_id AND hp.doc_id = s.doc_id
+  WHERE coalesce(hm.n, 0) = nm.n_must AND coalesce(hp.n, 0) = nm.n_pmust
+    AND NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM final)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
 # regexp replay: slash-wrapped tokens join the dictionary on anchored
 # regexp_matches, plain tokens on equality; scoring as _BM25_TOPK_SQL
 _REGEX_VALUES = ", ".join(f"({i}, '{t}')" for i, t in REGEX_QUERYSET)
@@ -2440,6 +2555,7 @@ QUERIES = {
     "suggest_terms": q_suggest_terms,
     "near_search": q_near_search,
     "regex_search": q_regex_search,
+    "query_parser": q_query_parser,
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,
