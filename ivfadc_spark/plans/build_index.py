@@ -215,14 +215,20 @@ def build_index(
                 .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)))
                 .cast("int"),
             )
-            # NO repartition before the partitioned write: each encode task
-            # streams its blocks straight into per-bucket files. A
-            # repartition("term_bucket") here shuffles every encoded block
-            # byte a second time and (with AQE coalescing) collapses the
-            # write into a handful of under-parallel tasks — profiled as a
-            # fixed ~14s stage at ANY core count. Cost of skipping it:
-            # n_tasks files per bucket instead of one, which the pruned
-            # bucket scans don't care about.
+            # Repartition on term_bucket before the partitioned write: the
+            # write cost is FILE OPERATIONS, not bytes — without it every
+            # encode task opens a writer per bucket (tasks x buckets ≈
+            # thousands of tiny files; measured 10s at sf0.1 even with raw
+            # local FS), while the one cheap shuffle of the already-encoded
+            # blocks (the index is a few % of corpus bytes) collapses that
+            # to one file per bucket (measured 1.2s — 8x). Earlier rounds
+            # profiled this shuffle as a loss; that was before the byte
+            # tokenizer made encode cheap and checksum sidecars were the
+            # hidden constant. Write parallelism = term_buckets — raise
+            # cfg.term_buckets with cluster size (it also sets scan-prune
+            # granularity), sentinel rows (bucket -1) are span-compressed
+            # and tiny.
+            .repartition("term_bucket")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(p_blocks)

@@ -114,6 +114,16 @@ def get_spark(
         # one open writer per bucket instead; per-writer buffering is only
         # what the task itself writes to that bucket (tens of MB total).
         .config("spark.sql.maxConcurrentOutputFileWriters", "128")
+        # local file:// writes: ChecksumFileSystem's .crc sidecar DOUBLES
+        # file operations, and the partitioned index write produces
+        # thousands of small files — measured at sf0.1 the blocks write
+        # halves (20s -> 10s) with raw local FS. Parquet pages carry their
+        # own CRCs, so integrity is not lost. Inert on cluster schemes
+        # (hdfs://, s3a:// resolve through their own keys).
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # v2 committer: task outputs move to the final dir at task commit
+        # (one rename per file) instead of a serial job-commit merge pass
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # shuffle/spill on tmpfs: local-mode shuffle through ext4 caps the
         # scaling of shuffle-heavy stages at ~disk bandwidth regardless of
