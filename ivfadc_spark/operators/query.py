@@ -46,7 +46,7 @@ def bm25_partial_score(cfg: EngineConfig = DEFAULT):
     return F.col("idf") * (F.col("tf") * (k1 + 1.0)) / denom
 
 
-def bm25_scores(
+def bm25_partials(
     qterms: DataFrame,
     tf: DataFrame,
     dictionary: DataFrame,
@@ -54,7 +54,9 @@ def bm25_scores(
     avgdl: float,
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
-    """(query_id, doc_id, score) for every candidate doc.
+    """(query_id, doc_id, term, partial): one BM25 partial score per matched
+    (query term, candidate doc) — the pre-aggregation stream every scoring
+    mode (sum, dismax, coverage counting) reduces differently.
 
     Join strategy at scale: qterms is tiny (queries x terms) -> broadcast it
     against the tf fact table so the posting probe is a broadcast-hash join
@@ -65,8 +67,24 @@ def bm25_scores(
     cand = tf.join(F.broadcast(qterms), "term")  # J1: posting-list probe
     cand = cand.join(F.broadcast(dictionary.select("term", "idf")), "term")
     cand = cand.join(dl, "doc_id").withColumn("avgdl", F.lit(float(avgdl)))
+    return cand.withColumn("partial", bm25_partial_score(cfg)).select(
+        "query_id", "doc_id", "term", "partial"
+    )
+
+
+def bm25_scores(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    dl: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, doc_id, score): the classic BM25 sum over
+    :func:`bm25_partials` (partial map-side aggregation, one shuffle on the
+    (query_id, doc_id) grouping key)."""
     return (
-        cand.withColumn("partial", bm25_partial_score(cfg))
+        bm25_partials(qterms, tf, dictionary, dl, avgdl, cfg)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("partial").alias("score"))
     )

@@ -1,0 +1,183 @@
+"""Score-shaping combinators — the Lucene collector / query-wrapper layer.
+
+The reference's search loop produces one thing: a ranked (docID, distance)
+list per query (/root/reference/SearchEngine.cpp:194-212). Real search
+deployments wrap that core with a small algebra of result-shaping operators
+— keyset pagination, hit counting, field sorting, query-time synonym
+expansion, document boosts, disjunction-max scoring. Each combinator here
+operates on the engine's *scores* frame ``(query_id, doc_id, score)`` or
+the pre-aggregation *partials* frame ``(query_id, doc_id, term, partial)``,
+so it composes with ANY scoring path (pure-DataFrame probe, block-max
+indexed scan, batch TAAT kernel) without knowing how candidates were found.
+
+Scale shape: every combinator is pure Catalyst expressions (whole-stage
+codegen, no Python); everything query-sized (cursors, synonym maps, hit
+counts) rides a broadcast; per-doc feature joins touch the CANDIDATE set,
+never the corpus; top-k stays the window row_number Catalyst lowers to a
+bounded per-partition sort.
+
+Determinism: combinators that re-rank (pagination, function_score, dismax)
+order by ``round(score, 6)`` with doc_id tiebreak. Rounding BEFORE ranking
+makes the total order identical between Spark and any oracle replaying the
+same formula — two docs whose float64 sums differ only in summation order
+round to the same value and fall back to the doc_id tiebreak on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ranked(scores: DataFrame, k: int, score_col: str = "score",
+           offset: int = 0) -> DataFrame:
+    """Deterministic top-k over a (query_id, doc_id, <score_col>) frame:
+    ORDER BY score_col DESC, doc_id ASC; ranks start at ``offset + 1``."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w) + F.lit(int(offset)))
+        .filter(F.col("rank") <= offset + k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            *[c for c in scores.columns if c not in ("query_id", "doc_id")],
+        )
+    )
+
+
+def page_after(
+    scores: DataFrame,
+    cursors: DataFrame,
+    k: int,
+    offset: int = 0,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Keyset pagination (the Elasticsearch ``search_after`` contract):
+    return the next ``k`` results strictly after a per-query cursor in the
+    (score DESC, doc_id ASC) total order.
+
+    ``cursors``: (query_id, after_score, after_doc) — the LAST hit of the
+    previous page, query-sized, broadcast. Unlike offset pagination (which
+    re-ranks offset+k candidates and breaks under concurrent index updates),
+    the keyset filter drops everything at-or-before the cursor BEFORE the
+    top-k, so page N costs the same as page 1 and never re-serves a doc.
+    Scores are rounded to ``round_decimals`` before the comparison AND the
+    re-rank so cursor equality is exact (see module docstring). Queries
+    with no cursor row (fewer than one full page of hits) return nothing —
+    inner-join semantics, matching the "no more pages" contract.
+    """
+    s = scores.withColumn("score", F.round("score", round_decimals))
+    c = s.join(F.broadcast(cursors), "query_id")
+    nxt = c.filter(
+        (F.col("score") < F.col("after_score"))
+        | (
+            (F.col("score") == F.col("after_score"))
+            & (F.col("doc_id") > F.col("after_doc"))
+        )
+    ).select("query_id", "doc_id", "score")
+    return ranked(nxt, k, offset=offset)
+
+
+def total_hits(scores: DataFrame) -> DataFrame:
+    """Per-query total hit count (Lucene's TotalHitCountCollector): the
+    size of the full OR-semantics candidate set, no ranking, no top-k.
+    One count per group key the scores frame already carries — at scale
+    this is a partial-aggregated count, never a sort."""
+    return scores.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("hits")
+    )
+
+
+def sort_by_field(
+    scores: DataFrame,
+    attrs: DataFrame,
+    field: str,
+    k: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Field-sorted retrieval (Lucene Sort(SortField)): rank the matching
+    docs by a document attribute instead of relevance; scoring is skipped
+    entirely (the sorted collector never calls the scorer). ``attrs``:
+    (doc_id, <field>) — joined against the CANDIDATE set only; at scale
+    this is a fact-table join on doc_id after the probe has already shrunk
+    the stream, not a corpus scan."""
+    cand = scores.select("query_id", "doc_id").join(attrs, "doc_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(field) if ascending else F.desc(field), F.asc("doc_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "doc_id", field,
+        )
+    )
+
+
+def expand_synonyms(qterms: DataFrame, synonyms: DataFrame) -> DataFrame:
+    """Query-time synonym expansion (the Solr explicit-mapping filter):
+    every (query_id, term) gains (query_id, syn) for each mapping row
+    ``term -> syn``, deduped — a term already present in the query is not
+    double-scored. One-directional: the map says which extra posting lists
+    to probe, exactly like the reference's multi-assignment probes extra
+    cells per query vector (/root/reference/Vocab.cpp:236-248, T2).
+    ``synonyms``: (term, syn), vocabulary-sized, broadcast."""
+    extra = (
+        qterms.join(F.broadcast(synonyms), "term")
+        .select("query_id", F.col("syn").alias("term"))
+    )
+    return qterms.select("query_id", "term").union(extra).distinct()
+
+
+def function_score(
+    scores: DataFrame,
+    features: DataFrame,
+    boost,
+    k: int,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Document-feature boosting (the Elasticsearch function_score query):
+    final = relevance * boost(features), re-ranked. ``features``:
+    (doc_id, ...feature cols) joined against candidates only; ``boost`` is
+    a Column expression over those feature columns (recency decay, length
+    prior, popularity...). The boosted score is rounded before ranking so
+    the total order is oracle-replayable."""
+    boosted = (
+        scores.join(features, "doc_id")
+        .withColumn("score", F.round(F.col("score") * boost, round_decimals))
+        .select("query_id", "doc_id", "score")
+    )
+    return ranked(boosted, k)
+
+
+def dismax_topk(
+    partials: DataFrame,
+    k: int,
+    tie_breaker: float = 0.0,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Disjunction-max scoring (Lucene DisjunctionMaxQuery): a doc's score
+    is its BEST matching term's partial plus ``tie_breaker`` times the rest
+    — rewarding focused matches over diffuse ones, where plain BM25-sum
+    rewards matching many weak terms. ``partials``: the pre-sum
+    (query_id, doc_id, partial) stream from :func:`query.bm25_partials` —
+    dismax is ONE aggregate over the same grouping the sum path uses
+    (max + tie*(sum-max)), so the plan shape is identical: partial
+    map-side aggregation, no extra shuffle."""
+    t = float(tie_breaker)
+    scored = (
+        partials.groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.max("partial")
+                + F.lit(t) * (F.sum("partial") - F.max("partial")),
+                round_decimals,
+            ).alias("score")
+        )
+    )
+    return ranked(scored, k)

@@ -177,6 +177,116 @@ def q_bm25_conjunctive(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+# query-time synonym map (the Solr explicit-mapping form): term -> extra
+# posting list to probe. Rows exercise every edge: expansion to a new vocab
+# term (scan -> filter), an expansion already present in the query (merge ->
+# join in query 7, deduped — never double-scored), an OOV query term rescued
+# by the map (plan -> vector), and a pure-OOV query gaining its only
+# results (zzzzz -> dup).
+SYNONYMS = [
+    ("scan", "filter"),
+    ("merge", "join"),
+    ("plan", "vector"),
+    ("zzzzz", "dup"),
+]
+
+
+def q_bm25_page_after(spark, sf_dir):
+    """Keyset pagination (search_after): page 2 — ranks 11-20 strictly
+    after each query's rank-10 hit in the (rounded score DESC, doc_id)
+    total order. Queries with under a full first page return nothing."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import page_after, ranked
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+    page1 = ranked(scores.withColumn("score", F.round("score", 6)), 10)
+    cursors = page1.filter(F.col("rank") == 10).select(
+        "query_id",
+        F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc"),
+    )
+    return page_after(scores, cursors, k=10, offset=10)
+
+
+def q_bm25_total_hits(spark, sf_dir):
+    """Total hit count per query (TotalHitCountCollector): the size of the
+    full OR-semantics match set — counting, never ranking."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import total_hits
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    return total_hits(bm25_scores(qt, tf, d, dl, cs["avgdl"]))
+
+
+def q_bm25_sort_by_attr(spark, sf_dir):
+    """Field-sorted retrieval (Sort(SortField)): top-10 matching docs per
+    query ordered by the n_chars attribute DESC — the scorer never runs."""
+    from ivfadc_spark.operators.query import query_terms
+    from ivfadc_spark.operators.scoring import sort_by_field
+
+    docs = _read(spark, sf_dir, "documents")
+    tf = S.term_frequencies(docs.select("doc_id", "text"))
+    qt = query_terms(_queries_df(spark))
+    cand = (
+        tf.join(F.broadcast(qt), "term").select("query_id", "doc_id").distinct()
+    )
+    res = sort_by_field(cand, docs.select("doc_id", "n_chars"), "n_chars", 10)
+    return res.select(
+        "query_id", "rank", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q_bm25_synonyms(spark, sf_dir):
+    """Query-time synonym expansion: probe each mapped term's posting list
+    too, dedupe, then the standard BM25-sum top-10."""
+    from ivfadc_spark.operators.query import bm25_topk, query_terms
+    from ivfadc_spark.operators.query import bm25_scores, topk
+    from ivfadc_spark.operators.scoring import expand_synonyms
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    syn = spark.createDataFrame(
+        pd.DataFrame(SYNONYMS, columns=["term", "syn"]),
+        schema="term string, syn string",
+    )
+    qx = expand_synonyms(qt, syn)
+    res = topk(bm25_scores(qx, tf, d, dl, cs["avgdl"]), 10)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_bm25_function_score(spark, sf_dir):
+    """Document boosting (function_score): relevance * a length prior
+    (1 + 0.1*ln(1 + n_chars)), re-ranked on the rounded boosted score."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import function_score
+
+    docs = _read(spark, sf_dir, "documents")
+    _, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+    boost = F.lit(1.0) + F.lit(0.1) * F.log(F.lit(1.0) + F.col("n_chars"))
+    return function_score(scores, docs.select("doc_id", "n_chars"), boost, 10)
+
+
+def q_bm25_dismax(spark, sf_dir):
+    """Disjunction-max scoring (DisjunctionMaxQuery, tie_breaker=0.3):
+    best matching term + 0.3x the rest — focused matches outrank diffuse
+    ones. Same grouping key as the sum path, one aggregate, no new
+    shuffle."""
+    from ivfadc_spark.operators.query import bm25_partials, query_terms
+    from ivfadc_spark.operators.scoring import dismax_topk
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    parts = bm25_partials(qt, tf, d, dl, cs["avgdl"])
+    return dismax_topk(parts, 10, tie_breaker=0.3)
+
+
 # unified parser queries: every clause form the grammar supports, mixed
 # (+must / -not, prefix, fuzzy, regex, 2-term phrases — the SQL replay
 # handles 2-term phrases; longer phrases are pytest-covered)
@@ -1550,6 +1660,111 @@ SELECT n::BIGINT AS n_docs, round(avgdl, 6) AS avgdl FROM stats
 
 ORACLES["bm25_topk_dataframe"] = _BM25_TOPK_SQL.format(values=_values_sql())
 ORACLES["bm25_topk_wand"] = _BM25_TOPK_SQL.format(values=_values_sql())
+
+# keyset pagination: in a total order, "strictly after the rank-10 hit" ==
+# ranks 11..20; a query with <= 10 hits has no page 2 on either side.
+# Both sides rank on the ROUNDED score (see operators/scoring.py docstring)
+ORACLES["bm25_page_after"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ), 6) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank BETWEEN 11 AND 20
+"""
+
+ORACLES["bm25_total_hits"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries)
+SELECT query_id::BIGINT AS query_id,
+       count(DISTINCT tok.doc_id)::BIGINT AS hits
+FROM qt JOIN tok USING(term) GROUP BY 1
+"""
+
+ORACLES["bm25_sort_by_attr"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+cand AS (SELECT DISTINCT qt.query_id, tok.doc_id FROM qt JOIN tok USING(term)),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY d.n_chars DESC, doc_id) AS rank, doc_id, d.n_chars
+           FROM cand JOIN documents d USING(doc_id))
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars
+FROM ranked WHERE rank <= 10
+"""
+
+_SYN_VALUES = ", ".join(f"('{t}', '{s}')" for t, s in SYNONYMS)
+ORACLES["bm25_synonyms"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+syn(term, syn) AS (VALUES {_SYN_VALUES}),
+qt0 AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+qt AS (SELECT DISTINCT query_id, term FROM (
+         SELECT query_id, term FROM qt0
+         UNION ALL
+         SELECT qt0.query_id, syn.syn AS term FROM qt0 JOIN syn USING(term))),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["bm25_function_score"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+boosted AS (SELECT s.query_id, s.doc_id,
+                   round(s.score * (1.0 + 0.1*ln(1.0 + d.n_chars)), 6) AS score
+            FROM scored s JOIN documents d USING(doc_id)),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM boosted)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["bm25_dismax"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+parts AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+           * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) AS partial
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats),
+scored AS (
+  SELECT query_id, doc_id,
+         round(max(partial) + 0.3*(sum(partial) - max(partial)), 6) AS score
+  FROM parts GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10
+"""
 # Lucene delete/scope semantics: candidates filtered, stats full-corpus
 ORACLES["bm25_topk_deleted"] = _bm25_masked_sql("tf.doc_id % 17 <> 3")
 ORACLES["bm25_topk_scoped"] = _bm25_masked_sql("tf.doc_id % 3 = 1")
@@ -2541,6 +2756,12 @@ QUERIES = {
     "fulltext_corpus_stats": q_corpus_stats,
     "bm25_topk_dataframe": q_bm25_df,
     "bm25_topk_conjunctive": q_bm25_conjunctive,
+    "bm25_page_after": q_bm25_page_after,
+    "bm25_total_hits": q_bm25_total_hits,
+    "bm25_sort_by_attr": q_bm25_sort_by_attr,
+    "bm25_synonyms": q_bm25_synonyms,
+    "bm25_function_score": q_bm25_function_score,
+    "bm25_dismax": q_bm25_dismax,
     "bm25_topk_wand": q_bm25_wand,
     "bm25_topk_batch": q_bm25_batch,
     "bm25_conjunctive_indexed": q_bm25_conjunctive_indexed,

@@ -1,0 +1,120 @@
+"""Score-shaping combinators (operators/scoring.py): edge semantics the
+sf0.01 oracle fixtures cannot isolate — cursor boundaries under score ties,
+pagination exhaustion, synonym dedup, dismax degenerate cases."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ivfadc_spark.operators.scoring import (
+    dismax_topk,
+    expand_synonyms,
+    function_score,
+    page_after,
+    ranked,
+    sort_by_field,
+    total_hits,
+)
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "doc_id", "score"]),
+        schema="query_id long, doc_id long, score double",
+    )
+
+
+def test_page_after_tie_boundary(spark):
+    # one query, 5 docs; docs 2 and 3 tie on score -> order (score desc,
+    # doc asc) is 1, 2, 3, 4, 5. Page size 2: cursor after page 1 = (0.5, 2).
+    rows = [(0, 1, 0.9), (0, 2, 0.5), (0, 3, 0.5), (0, 4, 0.4), (0, 5, 0.1)]
+    s = _scores(spark, rows)
+    cur = spark.createDataFrame(
+        [(0, 0.5, 2)], "query_id long, after_score double, after_doc long"
+    )
+    page2 = page_after(s, cur, k=2, offset=2).orderBy("rank").collect()
+    assert [(r.rank, r.doc_id) for r in page2] == [(3, 3), (4, 4)]
+
+
+def test_page_after_exhausted_and_missing_cursor(spark):
+    rows = [(0, 1, 0.9), (1, 7, 0.3)]
+    s = _scores(spark, rows)
+    # query 0's cursor sits at its last hit -> empty page; query 1 has no
+    # cursor row (never finished page 1) -> contributes nothing
+    cur = spark.createDataFrame(
+        [(0, 0.9, 1)], "query_id long, after_score double, after_doc long"
+    )
+    assert page_after(s, cur, k=5).count() == 0
+
+
+def test_page_after_rounds_before_compare(spark):
+    # scores differing only past 6 decimals collapse onto the cursor value:
+    # the keyset must treat them as ties and use the doc_id leg
+    rows = [(0, 1, 0.1000000004), (0, 2, 0.1000000001), (0, 3, 0.0999999996)]
+    s = _scores(spark, rows)
+    cur = spark.createDataFrame(
+        [(0, 0.1, 1)], "query_id long, after_score double, after_doc long"
+    )
+    got = page_after(s, cur, k=5).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [2, 3]
+
+
+def test_total_hits_counts_all_matches(spark):
+    rows = [(0, 1, 0.9), (0, 2, 0.5), (1, 1, 0.2)]
+    out = {r.query_id: r.hits for r in total_hits(_scores(spark, rows)).collect()}
+    assert out == {0: 2, 1: 1}
+
+
+def test_sort_by_field_ignores_score(spark):
+    rows = [(0, 1, 9.0), (0, 2, 0.1), (0, 3, 5.0)]
+    attrs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99)], "doc_id long, n_chars long"
+    )
+    got = sort_by_field(_scores(spark, rows), attrs, "n_chars", k=2).orderBy(
+        "rank"
+    ).collect()
+    # n_chars desc, doc_id tiebreak: 2 (99), 3 (99) — score never consulted
+    assert [(r.rank, r.doc_id) for r in got] == [(1, 2), (2, 3)]
+
+
+def test_expand_synonyms_dedupes(spark):
+    qt = spark.createDataFrame(
+        [(0, "merge"), (0, "join")], "query_id long, term string"
+    )
+    syn = spark.createDataFrame(
+        [("merge", "join"), ("merge", "sort")], "term string, syn string"
+    )
+    got = sorted(
+        (r.query_id, r.term) for r in expand_synonyms(qt, syn).collect()
+    )
+    # join appears once despite arriving via both the query and the map
+    assert got == [(0, "join"), (0, "merge"), (0, "sort")]
+
+
+def test_function_score_reranks(spark):
+    rows = [(0, 1, 1.0), (0, 2, 0.6)]
+    feats = spark.createDataFrame([(1, 0.0), (2, 1.0)], "doc_id long, w double")
+    got = function_score(
+        _scores(spark, rows), feats, F.lit(1.0) + F.col("w"), k=2
+    ).orderBy("rank").collect()
+    # doc 2 boosted 2x (1.2) overtakes doc 1 (1.0)
+    assert [(r.rank, r.doc_id, r.score) for r in got] == [(1, 2, 1.2), (2, 1, 1.0)]
+
+
+@pytest.mark.parametrize("tie,expect", [(0.0, 2.0), (1.0, 3.0), (0.5, 2.5)])
+def test_dismax_limits(spark, tie, expect):
+    # partials 2.0 and 1.0: tie=0 -> pure max, tie=1 -> plain sum
+    parts = spark.createDataFrame(
+        [(0, 1, "a", 2.0), (0, 1, "b", 1.0)],
+        "query_id long, doc_id long, term string, partial double",
+    )
+    got = dismax_topk(parts, k=1, tie_breaker=tie).collect()
+    assert got[0].score == expect
+
+
+def test_ranked_offset_relabels(spark):
+    # offset relabels ranks of an ALREADY-FILTERED stream (page_after cuts
+    # page 1 away first): the top-k of what remains get ranks offset+1..
+    rows = [(0, d, 1.0 / d) for d in range(1, 6)]
+    got = ranked(_scores(spark, rows), k=2, offset=2).orderBy("rank").collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(3, 1), (4, 2)]
