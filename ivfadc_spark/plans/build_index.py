@@ -245,39 +245,54 @@ def build_index(
     if not stage("02_dict"):
         t0 = time.time()
         raw = spark.read.parquet(p_blocks)
+        mobs = Observation("metrics")
+        metrics_out = block_metrics(raw).observe(
+            mobs,
+            F.sum("postings").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.max("postings").alias("max_term_postings"),
+        )
         if cfg.doc_shards > 0:
             # corpus stats + doc-length sidecar from the encoder's sentinel
             # rows (term_bucket=-1 partition — a pruned scan): one tiny
             # decode instead of a corpus tokenize. n_docs keeps the BM25
-            # convention (docs with >= 1 token).
+            # convention (docs with >= 1 token). Two scale details:
+            # (a) the pre-write repartition("term_bucket") put ALL sentinel
+            #     rows in one file (usually one row group), so the pruned
+            #     scan is ONE task — repartition the still-encoded rows
+            #     (tiny: ~3 span-compressed bytes/doc) across the cluster so
+            #     decode + write parallelize (each sentinel row is a
+            #     self-contained chunk; decode is row-independent);
+            # (b) run the doc_lens job CONCURRENTLY with the metrics scan
+            #     below (separate thread; they read disjoint partitions) —
+            #     stage 02 was the build's worst-scaling stage precisely
+            #     because it serialized three small jobs that each
+            #     underfill a big cluster.
             obs = Observation("doc_lens")
-            (
-                decode_doc_stats(raw.filter(F.col("term_bucket") == -1))
-                .observe(
-                    obs,
-                    F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
-                    F.sum("dl").alias("tokens"),
-                )
-                .write.mode("overwrite")
-                .parquet(os.path.join(p_seg, "doc_lens"))
+            sent = raw.filter(F.col("term_bucket") == -1).repartition(
+                spark.sparkContext.defaultParallelism
             )
+            lens_out = decode_doc_stats(sent).observe(
+                obs,
+                F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
+                F.sum("dl").alias("tokens"),
+            )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                lens_fut = pool.submit(
+                    lambda: lens_out.write.mode("overwrite").parquet(
+                        os.path.join(p_seg, "doc_lens")
+                    )
+                )
+                metrics_out.write.mode("overwrite").parquet(p_metrics)
+                lens_fut.result()
             n_docs = int(obs.get["n_docs"] or 0)
             avgdl = (float(obs.get["tokens"]) / n_docs) if n_docs else 0.0
         else:
             st1 = done["01_blocks"]
             n_docs, avgdl = st1["n_docs"], st1["avgdl"]
-        mobs = Observation("metrics")
-        (
-            block_metrics(raw)
-            .observe(
-                mobs,
-                F.sum("postings").alias("postings"),
-                F.sum("bytes").alias("bytes"),
-                F.max("postings").alias("max_term_postings"),
-            )
-            .write.mode("overwrite")
-            .parquet(p_metrics)
-        )
+            metrics_out.write.mode("overwrite").parquet(p_metrics)
         if cfg.doc_shards > 0:
             # dictionary derived from the blocks (df = postings, cf summed)
             S.dictionary_from_metrics(

@@ -900,6 +900,40 @@ def q_streaming_ingest(spark, sf_dir):
     return spark.createDataFrame(pdf, schema="term string, df long, cf long")
 
 
+def q_segments_as_of(spark, sf_dir):
+    """Iceberg-style time travel over the LSM segment log: three
+    append-only delta segments (contiguous doc_id ranges committed as
+    epochs 0/1/2); querying AS OF epoch 1 sees only the first two deltas —
+    the later append is invisible and corpus statistics (n_docs, avgdl,
+    idf) rescope to the snapshot through the federation. Oracle = BM25
+    over the corpus truncated at the snapshot boundary (the first 7/10 of
+    the dense doc_id space)."""
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+    from ivfadc_spark.plans.build_index import build_index
+    from ivfadc_spark.sources.transcripts import transcripts_from_documents
+    from ivfadc_spark.streaming.ingest import open_as_of
+
+    key = (sf_dir, "as_of_lsm")
+    if key not in _SEGMENT_CACHE:
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        cuts = [(0, (2 * n) // 5), ((2 * n) // 5, (7 * n) // 10), ((7 * n) // 10, n)]
+        base = tempfile.mkdtemp(prefix="ivfadc_lsm_")
+        for e, (lo, hi) in enumerate(cuts):
+            delta = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            build_index(
+                spark,
+                transcripts_from_documents(delta),
+                os.path.join(base, f"seg_{e:06d}"),
+                cfg=_ENGINE_CFG,
+                lineage={"epoch": e, "doc_range": [int(lo), int(hi)]},
+            )
+        _SEGMENT_CACHE[key] = base
+    ss = open_as_of(spark, _SEGMENT_CACHE[key], as_of_epoch=1)
+    res = bm25_topk_indexed(_queries_df(spark), ss, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_topk_docs_per_term(spark, sf_dir):
     """T1 window form: top-3 docs by tf per term, ties by doc_id."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2724,6 +2758,12 @@ ORACLES["bm25_conjunctive_indexed"] = ORACLES["bm25_topk_conjunctive"]
 # federation answers against the segment UNION; the truth is simply BM25
 # over the whole corpus
 ORACLES["multi_segment_query"] = _BM25_TOPK_SQL.format(values=_values_sql())
+# snapshot read AS OF epoch 1 of 3 = the corpus truncated at the second
+# delta's upper doc_id bound ((7*n)//10 of the dense id space); stats
+# rescoped to the snapshot — same contract as post-compaction search
+ORACLES["segments_as_of"] = _bm25_filtered_corpus_sql(
+    "doc_id < (SELECT (7*count(*))//10 FROM documents)"
+)
 ORACLES["multi_segment_batch"] = _BM25_TOPK_SQL.format(values=_values_sql())
 
 _PHRASE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PHRASESET)
@@ -2780,6 +2820,7 @@ QUERIES = {
     "bm25_topk_scoped": q_bm25_scoped,
     "bm25_topk_compacted": q_bm25_compacted,
     "multi_segment_query": q_multi_segment,
+    "segments_as_of": q_segments_as_of,
     "multi_segment_phrase": q_multi_segment_phrase,
     "phrase_topk": q_phrase_topk,
     "doc_map_topk_join": q_doc_map_join,

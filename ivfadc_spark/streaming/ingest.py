@@ -77,6 +77,56 @@ def list_stream_segments(out_dir: str) -> list[str]:
     ]
 
 
+def snapshots(out_dir: str) -> list[dict]:
+    """Snapshot log of the LSM directory: one entry per immutable segment —
+    ``{path, epoch, created_at}`` in epoch order. The analog of the
+    snapshot list an Iceberg table keeps in its metadata tree: each
+    micro-batch commit is an append-only snapshot, so "the table as of X"
+    is exactly "the segments committed at-or-before X"."""
+    import json
+
+    out = []
+    for p in list_stream_segments(out_dir):
+        with open(os.path.join(p, "meta.json")) as f:
+            meta = json.load(f)
+        epoch_dir = os.path.basename(os.path.dirname(p))
+        out.append(
+            {
+                "path": p,
+                "epoch": int(epoch_dir.split("_")[1]),
+                "created_at": float(meta.get("created_at", 0.0)),
+            }
+        )
+    return sorted(out, key=lambda r: r["epoch"])
+
+
+def open_as_of(
+    spark: SparkSession,
+    out_dir: str,
+    as_of_epoch: int | None = None,
+    as_of_ts: float | None = None,
+):
+    """Time-travel read over the LSM segment directory: a SegmentSet of the
+    segments committed at-or-before the cutoff — later appends invisible,
+    corpus statistics (n_docs, avgdl, idf) rescoped to the snapshot by the
+    federation itself. Cutoff by ``as_of_epoch`` (micro-batch id) or
+    ``as_of_ts`` (segment ``created_at`` wall clock); neither = latest.
+    Segments are immutable, so a snapshot read needs no locks and is
+    reproducible forever (until compaction garbage-collects members)."""
+    from ivfadc_spark.operators.segments import SegmentSet
+
+    snaps = snapshots(out_dir)
+    if as_of_epoch is not None:
+        snaps = [s for s in snaps if s["epoch"] <= as_of_epoch]
+    elif as_of_ts is not None:
+        snaps = [s for s in snaps if s["created_at"] <= as_of_ts]
+    if not snaps:
+        raise ValueError(
+            f"no segment in {out_dir} at-or-before the requested snapshot"
+        )
+    return SegmentSet(spark, [s["path"] for s in snaps])
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "5 minutes",
