@@ -285,6 +285,34 @@ def write_pq_index(
         json.dump(meta, f)
 
 
+def append_pq_index(spark, path: str, vecs: DataFrame, nprobe: int = 1) -> None:
+    """Incremental append to a persisted IVFADC index — the LSM model the
+    text side uses, applied to vectors: new rows are coarse-assigned and
+    PQ-encoded with the index's FROZEN codebooks (one mapInArrow pass,
+    codebooks in the closure), then written into the cell-partitioned codes
+    dataset with ``mode=append`` — new parquet files land inside existing
+    cell partitions, nothing is rewritten, readers see the union. This is
+    the standard IVF update contract (the reference re-runs mode 2 per new
+    collection and unions at load, /root/reference/SearchEngine.cpp:94-102;
+    Faiss `IVF.add` likewise encodes against frozen codebooks): appended
+    vectors quantize exactly as they would have at build time, so an
+    appended index is bit-identical to one built over the union with the
+    same codebooks. Re-train + rebuild only when drift degrades recall.
+    """
+    import os
+
+    codes2, books, coarse = load_pq_index(spark, path)
+    nsq = len(books)
+    dim = len(coarse["b"].iloc[0])
+    assigned = coarse_assign(vecs, coarse, nprobe=nprobe, impl="arrow").filter(
+        F.col("r") == 1
+    )
+    enc = encode_pq(residuals(assigned), books, dim, impl="arrow")
+    enc.select(
+        "vec_id", "cell", *[f"code_{s}" for s in range(nsq)]
+    ).write.mode("append").partitionBy("cell").parquet(os.path.join(path, "codes"))
+
+
 def load_pq_index(spark, path: str):
     """-> (codes DataFrame, books, coarse_pdf). Cell partition pruning is
     free on the codes frame (filter cell IN probed -> only those parquet

@@ -660,3 +660,47 @@ def test_facet_counts_over_segment_set_with_tombstones(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def test_pq_index_append_equals_rebuild(spark, tmp_path):
+    """append_pq_index: rows appended against the index's FROZEN codebooks
+    yield an index identical to one built over the union at once — same
+    (vec_id, cell, codes) rows, same ADC top-k through the persisted path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.operators import pq
+
+    rng = np.random.default_rng(11)
+    dim, nsq, ks = 16, 4, 4
+    vecs_np = rng.normal(size=(100, dim)).round(3)
+    all_v = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(100), "v": [list(map(float, r)) for r in vecs_np]}),
+        schema="vec_id long, v array<double>",
+    )
+    base_v = all_v.filter(F.col("vec_id") < 80)
+    new_v = all_v.filter(F.col("vec_id") >= 80)
+    coarse = pd.DataFrame(
+        {"cell": np.arange(4, dtype=np.int32), "b": [list(map(float, r)) for r in vecs_np[:4]]}
+    )
+    # codebooks trained on the BASE corpus only (the frozen-codebook contract)
+    res_base = pq.residuals(pq.coarse_assign(base_v, coarse, nprobe=1))
+    books = pq.train_pq(res_base, dim, nsq, ks, iters=1)
+    codes_base = pq.encode_pq(res_base, books, dim)
+    path = str(tmp_path / "pqidx")
+    pq.write_pq_index(path, codes_base, books, coarse)
+
+    pq.append_pq_index(spark, path, new_v)
+
+    # ground truth: the union encoded in one shot with the SAME codebooks
+    res_all = pq.residuals(pq.coarse_assign(all_v, coarse, nprobe=1))
+    want = (
+        pq.encode_pq(res_all, books, dim).orderBy("vec_id").toPandas().reset_index(drop=True)
+    )
+    codes2, books2, coarse2 = pq.load_pq_index(spark, path)
+    got = (
+        codes2.select(*want.columns).orderBy("vec_id").toPandas().reset_index(drop=True)
+    )
+    got = got.astype(want.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+    assert got["vec_id"].tolist() == list(range(100))
