@@ -155,27 +155,13 @@ def bm25_topk_conjunctive(
     return topk(scored, k, cfg)
 
 
-def facet_counts(
-    queries: DataFrame,
-    segment,
-    attr: str = "role",
-) -> DataFrame:
-    """Per-query facet counts over the FULL matching doc set (OR semantics):
-    for every live doc containing at least one query term, count docs per
-    ``doc_map`` attribute value — the results-sidebar aggregation of every
-    search UI (beyond the reference: it has no document attributes,
-    /root/reference/SearchEngine.cpp:221-297 returns ranked ids only).
-
-    Scale shape: candidates come from the same pruned blocks scan as
-    ``bm25_topk_indexed``'s no-collect path (broadcast semi-join on the
-    query terms -> term_bucket partition pruning + term min/max row-group
-    pruning — postings of non-query terms are never read). The facet
-    aggregation shuffles only distinct (query_id, doc_id) pairs, and the
-    attribute join touches the candidate set, not the corpus. Tombstones
-    are dropped via a broadcast anti-join (deletes are small by
-    construction; the Lucene delete contract needs no statistics here
-    because facets count, not score).
-    """
+def facet_candidates(queries: DataFrame, segment) -> DataFrame:
+    """Live (query_id, doc_id) candidates for facet-style aggregations: every
+    non-tombstoned doc containing at least one query term (OR semantics).
+    Shared plan of :func:`facet_counts` / :func:`facet_stats`: a broadcast
+    semi-join on the query terms prunes the blocks scan (term_bucket
+    partitions + term min/max row groups — postings of non-query terms are
+    never read); tombstones drop via a broadcast anti-join."""
     from ivfadc_spark.operators.postings import decode_blocks
 
     spark = segment.spark
@@ -202,6 +188,60 @@ def facet_counts(
             [(int(x),) for x in np.flatnonzero(~lm)], "doc_id long"
         )
         cand = cand.join(F.broadcast(dead_df), "doc_id", "left_anti")
+    return cand
+
+
+def facet_stats(
+    queries: DataFrame,
+    segment,
+    features: DataFrame,
+    attr: str = "role",
+    value_col: str = "value",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Metric aggregation per facet bucket (the terms-aggregation with a
+    numeric sub-aggregation of every search UI — beyond :func:`facet_counts`'
+    plain bucket counts): per (query, ``attr``) count + avg + max of a
+    per-doc numeric feature over the full OR-semantics matching set,
+    tombstones excluded. ``features``: (doc_id, <value_col>) — joined
+    against the CANDIDATE set only, never the corpus; the aggregation
+    shuffles one row per (query, doc)."""
+    cand = facet_candidates(queries, segment)
+    dm = segment.doc_map.select("doc_id", attr)
+    return (
+        cand.join(dm, "doc_id")
+        .join(features.select("doc_id", value_col), "doc_id")
+        .groupBy("query_id", attr)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(value_col), round_decimals).alias(f"avg_{value_col}"),
+            F.max(value_col).alias(f"max_{value_col}"),
+        )
+    )
+
+
+def facet_counts(
+    queries: DataFrame,
+    segment,
+    attr: str = "role",
+) -> DataFrame:
+    """Per-query facet counts over the FULL matching doc set (OR semantics):
+    for every live doc containing at least one query term, count docs per
+    ``doc_map`` attribute value — the results-sidebar aggregation of every
+    search UI (beyond the reference: it has no document attributes,
+    /root/reference/SearchEngine.cpp:221-297 returns ranked ids only).
+
+    Scale shape: candidates come from the same pruned blocks scan as
+    ``bm25_topk_indexed``'s no-collect path (broadcast semi-join on the
+    query terms -> term_bucket partition pruning + term min/max row-group
+    pruning — postings of non-query terms are never read). The facet
+    aggregation shuffles only distinct (query_id, doc_id) pairs, and the
+    attribute join touches the candidate set, not the corpus. Tombstones
+    are dropped via a broadcast anti-join (deletes are small by
+    construction; the Lucene delete contract needs no statistics here
+    because facets count, not score).
+    """
+    cand = facet_candidates(queries, segment)
     dm = segment.doc_map.select("doc_id", attr)
     return (
         cand.join(dm, "doc_id")

@@ -625,6 +625,25 @@ def q_facet_counts(spark, sf_dir):
     return facet_counts(_queries_df(spark), seg, attr="role")
 
 
+def q_facet_stats(spark, sf_dir):
+    """Metric aggregation per facet bucket (terms-agg + numeric
+    sub-aggregation): per (query, role) count + avg/max of the docs'
+    n_chars over the matching set, tombstones excluded — the feature join
+    touches candidates only."""
+    from ivfadc_spark.operators.query import facet_stats
+
+    seg = _get_deleted_segment(spark, sf_dir)
+    feats = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return facet_stats(
+        _queries_df(spark), seg, feats, attr="role", value_col="n_chars"
+    ).select(
+        "query_id", "role",
+        "n_docs",
+        F.col("avg_n_chars"),
+        F.col("max_n_chars").cast("long").alias("max_n_chars"),
+    )
+
+
 # document updates (upsert): old versions tombstoned in the base segment,
 # new text ingested as an LSM delta segment, both queried as one corpus
 UPDATED_PREFIX = "revised patch note "
@@ -1822,6 +1841,24 @@ SELECT query_id::BIGINT AS query_id,
 FROM cand GROUP BY 1, 2
 """.format(values=_values_sql())
 
+# facet metric aggregation: same candidate set as facet_counts, plus
+# count/avg/max of the matching docs' n_chars per bucket
+ORACLES["facet_stats"] = f"""
+WITH queries(query_id, text) AS (VALUES {{values}}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+cand AS (SELECT DISTINCT qt.query_id, tok.doc_id
+         FROM qt JOIN tok USING(term)
+         WHERE tok.doc_id % 17 <> 3)
+SELECT query_id::BIGINT AS query_id,
+       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            ELSE 'tool' END AS role,
+       count(*)::BIGINT AS n_docs,
+       round(avg(d.n_chars), 6) AS avg_n_chars,
+       max(d.n_chars)::BIGINT AS max_n_chars
+FROM cand JOIN documents d USING(doc_id) GROUP BY 1, 2
+""".format(values=_values_sql())
+
 _UPDATE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in UPDATE_QUERYSET)
 # document update replay: corpus = old text of EVERY doc (stats keep the
 # stale versions — the uncompacted Lucene contract) UNION new text at
@@ -2807,6 +2844,7 @@ QUERIES = {
     "bm25_conjunctive_indexed": q_bm25_conjunctive_indexed,
     "bm25_topk_deleted": q_bm25_deleted,
     "facet_counts": q_facet_counts,
+    "facet_stats": q_facet_stats,
     "bm25_topk_updated": q_bm25_updated,
     "prefix_search": q_prefix_search,
     "fuzzy_search": q_fuzzy_search,
