@@ -155,6 +155,109 @@ def function_score(
     return ranked(boosted, k)
 
 
+def collapse_topk(
+    scores: DataFrame,
+    attrs: DataFrame,
+    group_field: str,
+    k: int,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Field collapsing (the Elasticsearch ``collapse`` parameter / Lucene
+    grouping): at most ONE hit per value of a document attribute survives —
+    each group is represented by its best-scoring doc — then the survivors
+    re-rank into the usual top-k. The standard diversity contract (one hit
+    per site/conversation/author) the reference's flat ranked list lacks
+    (/root/reference/SearchEngine.cpp:194-212 returns raw (docID, distance)).
+
+    ``attrs``: (doc_id, <group_field>) joined against the CANDIDATE set
+    only. Two bounded sorts: the per-(query, group) argmax and the final
+    top-k are both window row_numbers Catalyst lowers to per-partition
+    bounded sorts — no global sort, no extra shuffle beyond the candidate
+    attr join. Scores round before BOTH ranks so the group winner and the
+    final order replay identically in any oracle."""
+    s = (
+        scores.withColumn("score", F.round("score", round_decimals))
+        .join(attrs, "doc_id")
+    )
+    wg = Window.partitionBy("query_id", group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = (
+        s.withColumn("_gr", F.row_number().over(wg))
+        .filter(F.col("_gr") == 1)
+        .select("query_id", "doc_id", "score", group_field)
+    )
+    return ranked(best, k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int,
+    rrf_k: int = 60,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (the Elasticsearch hybrid-retrieval ``rrf``
+    rank window): fuse ANY ranked lists (lexical BM25, vector kNN, MLT...)
+    by summing 1/(rrf_k + rank) per (query, doc) — rank-based, so the
+    retrievers' incomparable score scales never matter (Cormack et al.,
+    SIGIR'09). Inputs: (query_id, doc_id, rank) frames, each already a
+    bounded per-query top-N (so the union is candidates-sized, never
+    corpus-sized); a doc absent from a list simply contributes nothing.
+
+    Determinism: contributions 1/(rrf_k+rank) are exact per row; with two
+    lists the per-doc sum is a single float64 add (order-free), and the
+    fused score rounds to ``round_decimals`` before ranking, so any oracle
+    replaying the same ranks reproduces the total order bit-for-bit. With
+    3+ lists summation order can differ at ~1 ulp — far below the 1e-9
+    rounding grid for scores bounded by len(rankings)/rrf_k."""
+    u = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "doc_id", "rank"))
+    scored = u.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))),
+            round_decimals,
+        ).alias("score")
+    )
+    return ranked(scored, k)
+
+
+def rescore_topk(
+    scores: DataFrame,
+    second: DataFrame,
+    window: int,
+    k: int,
+    weight: float = 1.0,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Rescoring window (the Elasticsearch ``rescore`` / query_rescore
+    contract, score_mode=total): only the top ``window`` candidates per
+    query are re-scored — final = first_pass + weight * secondary — then
+    the usual top-k (``k <= window``). The modern retrieve-then-rerank
+    pattern: a cheap first pass (BM25) bounds how many docs the expensive
+    secondary signal (embedding cosine, cross-encoder...) ever touches, so
+    the second stage costs O(queries * window) regardless of corpus size.
+
+    ``second``: (query_id, doc_id, sec) for AT LEAST the window docs; docs
+    without a row keep their first-pass score (sec=0, the ES default).
+    First-pass scores round before the window cut and the combined score
+    rounds before the final rank, so both orders replay in an oracle."""
+    first = ranked(
+        scores.withColumn("score", F.round("score", round_decimals)), window
+    ).select("query_id", "doc_id", "score")
+    rescored = (
+        first.join(second, ["query_id", "doc_id"], "left")
+        .fillna(0.0, subset=["sec"])
+        .withColumn(
+            "score",
+            F.round(F.col("score") + F.lit(float(weight)) * F.col("sec"),
+                    round_decimals),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return ranked(rescored, k)
+
+
 def dismax_topk(
     partials: DataFrame,
     k: int,

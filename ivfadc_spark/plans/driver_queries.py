@@ -287,6 +287,222 @@ def q_bm25_dismax(spark, sf_dir):
     return dismax_topk(parts, 10, tie_breaker=0.3)
 
 
+def q_bm25_collapse(spark, sf_dir):
+    """Field collapsing (the ES ``collapse`` parameter / Lucene grouping):
+    top-10 per query with at most ONE hit per ``source`` — each source
+    represented by its best-scoring doc. Diversity over a flat ranked
+    list; both the group argmax and the final order rank on the rounded
+    score with doc_id tiebreak so the oracle replays them exactly."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import collapse_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    _, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+    return collapse_topk(scores, docs.select("doc_id", "source"), "source", 10)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (the ES ``rrf``
+    retriever): the lexical BM25 top-50 for a query's TEXT fused with the
+    embedding-cosine top-50 for the query's example VECTOR — queries 0-4
+    carry both QUERYSET[i] text and embeddings vec_id=i (query-by-example;
+    embeddings and documents share the doc-id space 1:1 in the testdata).
+    score = sum over lists of 1/(60+rank); rank-based, so BM25 and cosine
+    scales never meet. Both input lists rank on ROUNDED scores (6dp) with
+    doc_id tiebreak, making every rank — and therefore the fused order —
+    oracle-replayable."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import ranked, rrf_fuse
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    q = _queries_df(spark).filter(F.col("query_id") < 5)
+    qt = query_terms(q)
+    lex = ranked(
+        bm25_scores(qt, tf, d, dl, cs["avgdl"]).withColumn(
+            "score", F.round("score", 6)
+        ),
+        50,
+    ).select("query_id", "doc_id", "rank")
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("a")
+    )
+    c = e.select(F.col("vec_id").alias("doc_id"), F.col("v").alias("b"))
+    pairs = F.broadcast(qv).crossJoin(c).filter(F.col("query_id") != F.col("doc_id"))
+    vec = ranked(
+        pairs.select("query_id", "doc_id", F.round(_cosine_cols(), 6).alias("score")),
+        50,
+    ).select("query_id", "doc_id", "rank")
+
+    return rrf_fuse([lex, vec], k=10)
+
+
+def q_bm25_rescore(spark, sf_dir):
+    """Rescoring window (the ES ``rescore`` contract): BM25 retrieves a
+    top-50 window per query (queries 0-4), then an embedding-cosine
+    secondary signal re-ranks ONLY that window —
+    final = bm25 + 10 * cosine(query example vector, doc vector).
+    The score-based retrieve-then-rerank hybrid (contrast `hybrid_rrf`,
+    the rank-based fusion): the expensive semantic scorer touches
+    O(queries x window) docs, never the corpus. Queries 0-4 carry both
+    QUERYSET text and embeddings vec_id=i, the query-by-example fixture."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import rescore_topk
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    q = _queries_df(spark).filter(F.col("query_id") < 5)
+    qt = query_terms(q)
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("a")
+    )
+    dv = e.select(F.col("vec_id").alias("doc_id"), F.col("v").alias("b"))
+    sec = (
+        F.broadcast(qv)
+        .crossJoin(dv)
+        .select("query_id", "doc_id", F.round(_cosine_cols(), 6).alias("sec"))
+    )
+    return rescore_topk(scores, sec, window=50, k=10, weight=10.0)
+
+
+def q_bm25f_title_body(spark, sf_dir):
+    """Multi-field search (BM25F, the ES ``multi_match`` / field-boost
+    contract): each doc splits into a ``title`` field (first 10 tokens,
+    weight 2.0) and a ``body`` field (the rest, weight 1.0); the simple
+    BM25F variant folds fields BEFORE saturation —
+    wtf = Σ_f w_f·tf_f, wdl = Σ_f w_f·|f|, then one BM25 saturation over
+    (wtf, wdl, avg wdl) with document-level idf. One posexplode-free pass:
+    both fields come from array slices of the same tokenize, weights ride
+    a union, and every aggregate is the exact-integer kind (sums of 1.0/2.0)
+    so the oracle reproduces scores bit-for-bit before rounding."""
+    from ivfadc_spark.operators.query import query_terms
+
+    W_TITLE, W_BODY = 2.0, 1.0
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens_col("text").alias("tok"))
+    title = toks.select(
+        "doc_id", F.explode(F.slice("tok", 1, 10)).alias("term"),
+        F.lit(W_TITLE).alias("w"),
+    )
+    body = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("slice(tok, 11, greatest(size(tok) - 10, 0))")
+        ).alias("term"),
+        F.lit(W_BODY).alias("w"),
+    )
+    fields = title.unionByName(body)
+    wtf = fields.groupBy("doc_id", "term").agg(F.sum("w").alias("wtf"))
+    wdl = fields.groupBy("doc_id").agg(F.sum("w").alias("wdl"))
+    stats = wdl.agg(
+        F.count("*").alias("n"), F.avg("wdl").alias("avgwdl")
+    ).collect()[0]
+    n, avgwdl = float(stats["n"]), float(stats["avgwdl"])
+    d = wtf.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    qt = query_terms(_queries_df(spark))
+    k1, b = K1, B
+    cand = (
+        wtf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(d.select("term", "idf")), "term")
+        .join(wdl, "doc_id")
+    )
+    partial = F.col("idf") * (F.col("wtf") * (k1 + 1.0)) / (
+        F.col("wtf") + k1 * (1.0 - b + b * F.col("wdl") / F.lit(avgwdl))
+    )
+    scored = (
+        cand.withColumn("partial", partial)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (the ES ``significant_terms`` agg,
+    JLH score): terms overrepresented in each query's matching set M
+    (OR-semantics docs) relative to the corpus background —
+    JLH = (fg_rate - bg_rate) * (fg_rate / bg_rate) with
+    fg_rate = fg_df/|M|, bg_rate = df/N. The query's own terms are
+    excluded (the agg's standard query-echo exclusion). Top-10 per query
+    by (rounded score desc, term).
+
+    Scale shape: M comes from the same term-probe as search; the
+    foreground count is ONE groupBy over M joined back to the tf fact
+    table (|M|·avgdl rows, partial-aggregated); background df rides the
+    broadcast dictionary. All arithmetic is identical-order float64 so
+    the oracle reproduces scores exactly."""
+    from ivfadc_spark.operators.query import query_terms
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    m = tf.join(F.broadcast(qt), "term").select("query_id", "doc_id").distinct()
+    msize = m.groupBy("query_id").agg(F.count("*").cast("double").alias("m"))
+    fg = (
+        m.join(tf.select("doc_id", "term"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg_df"))
+        .join(qt, ["query_id", "term"], "left_anti")
+    )
+    n = float(cs["n_docs"])
+    fg_rate = F.col("fg_df").cast("double") / F.col("m")
+    bg_rate = F.col("df").cast("double") / F.lit(n)
+    scored = (
+        fg.join(F.broadcast(msize), "query_id")
+        .join(F.broadcast(d.select("term", "df")), "term")
+        .withColumn("score", F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "rank", "term", F.col("fg_df").cast("long").alias("fg_df"),
+            "score",
+        )
+    )
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (the ES percolator): REGISTERED queries run against
+    incoming documents — per doc, which stored queries fire. Registered
+    set = QUERYSET with AND semantics (every term must occur; a query
+    containing an OOV term can never fire — the conjunctive convention).
+    The alerting/routing primitive: at 100 TB the registered queries are
+    the broadcast side and the doc stream is ONE tf pass + one
+    partial-aggregated groupBy — never a per-query scan."""
+    from ivfadc_spark.operators.query import query_terms
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    need = qt.groupBy("query_id").agg(F.count("*").cast("long").alias("n_terms"))
+    have = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count("*").alias("n_have"))
+    )
+    return (
+        have.join(F.broadcast(need), "query_id")
+        .filter(F.col("n_have") == F.col("n_terms"))
+        .select("query_id", "doc_id", "n_terms")
+    )
+
+
 # unified parser queries: every clause form the grammar supports, mixed
 # (+must / -not, prefix, fuzzy, regex, 2-term phrases — the SQL replay
 # handles 2-term phrases; longer phrases are pytest-covered)
@@ -2451,6 +2667,161 @@ SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
 ) WHERE rank <= 10
 """
 
+# field collapsing: best doc per (query, source) on the rounded score,
+# survivors re-ranked — both orders replay the Spark windows exactly
+ORACLES["bm25_collapse"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ), 6) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+best AS (SELECT query_id, doc_id, score, source,
+                row_number() OVER (PARTITION BY query_id, source
+                                   ORDER BY score DESC, doc_id) AS gr
+         FROM scored JOIN documents USING(doc_id)),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score, source
+           FROM best WHERE gr = 1)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score, source
+FROM ranked WHERE rank <= 10
+"""
+
+# hybrid RRF: lexical BM25 rank list (queries 0-4) + cosine rank list for
+# the same ids' example vectors; fused score = sum 1/(60+rank), 9dp
+ORACLES["hybrid_rrf"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term
+       FROM queries WHERE query_id < 5),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ), 6) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+lex AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank FROM scored),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vp AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+              round(list_dot_product(q.v, c.v) /
+                (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+       FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+vec AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, doc_id) AS rank FROM vp),
+fused AS (SELECT query_id, doc_id, round(sum(1.0/(60 + rank)), 9) AS score
+          FROM (SELECT * FROM lex WHERE rank <= 50
+                UNION ALL SELECT * FROM vec WHERE rank <= 50)
+          GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM fused)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+# rescore: BM25 top-50 window (rounded-score rank), combined score
+# = bm25 + 10*cosine, rounded before the final rank — both orders replayed
+ORACLES["bm25_rescore"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term
+       FROM queries WHERE query_id < 5),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ), 6) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+first AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS r FROM scored),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sec AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               round(list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sec
+        FROM e q, e c WHERE q.vec_id < 5),
+rescored AS (SELECT f.query_id, f.doc_id,
+                    round(f.score + 10.0 * coalesce(s.sec, 0.0), 6) AS score
+             FROM first f LEFT JOIN sec s
+               ON f.query_id = s.query_id AND f.doc_id = s.doc_id
+             WHERE f.r <= 50),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM rescored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+# BM25F title/body: fields from list slices of one tokenize; weighted tf
+# and dl are exact-integer sums, saturation arithmetic in Spark's op order
+ORACLES["bm25f_title_body"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+fields AS (
+  SELECT doc_id, unnest(tok[1:10]) AS term, 2.0 AS w FROM tokd
+  UNION ALL
+  SELECT doc_id, unnest(tok[11:]) AS term, 1.0 AS w FROM tokd),
+wtf AS (SELECT doc_id, term, sum(w) AS wtf FROM fields GROUP BY 1, 2),
+wdl AS (SELECT doc_id, sum(w) AS wdl FROM fields GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(wdl) AS avgwdl FROM wdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM wtf GROUP BY 1),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, wtf.doc_id,
+         round(sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * wtf.wtf*({K1}+1)/(wtf.wtf + {K1}*(1 - {B} + {B}*wdl.wdl/stats.avgwdl)) ), 6) AS score
+  FROM qt JOIN dict USING(term) JOIN wtf USING(term) JOIN wdl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+# significant terms: JLH over the OR matching set, query terms excluded;
+# arithmetic written in the Spark expression's exact op order
+ORACLES["significant_terms"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+m AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM qt JOIN tf USING(term)),
+msize AS (SELECT query_id, count(*)::DOUBLE AS m FROM m GROUP BY 1),
+fg AS (SELECT m.query_id, tf.term, count(*)::DOUBLE AS fg_df
+       FROM m JOIN tf USING(doc_id) GROUP BY 1, 2),
+fgx AS (SELECT fg.query_id, fg.term, fg.fg_df FROM fg
+        ANTI JOIN qt ON fg.query_id = qt.query_id AND fg.term = qt.term),
+scored AS (SELECT f.query_id, f.term, f.fg_df,
+                  round((f.fg_df/s.m - d.df/stats.n)
+                        * ((f.fg_df/s.m) / (d.df/stats.n)), 9) AS score
+           FROM fgx f JOIN msize s USING(query_id) JOIN dict d USING(term), stats),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, term) AS rank, term, fg_df, score
+           FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, term,
+       fg_df::BIGINT AS fg_df, score
+FROM ranked WHERE rank <= 10
+"""
+
+# percolator: registered AND-semantics queries fire on docs containing
+# every query term
+ORACLES["percolate"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tfd AS (SELECT DISTINCT doc_id, term FROM tok),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+need AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt GROUP BY 1),
+have AS (SELECT tfd.doc_id, qt.query_id, count(*)::BIGINT AS n_have
+         FROM tfd JOIN qt USING(term) GROUP BY 1, 2)
+SELECT h.query_id::BIGINT AS query_id, h.doc_id::BIGINT AS doc_id,
+       n.n_terms AS n_terms
+FROM have h JOIN need n USING(query_id) WHERE h.n_have = n.n_terms
+"""
+
 _BUCKET = " + ".join(
     f"(CASE WHEN v[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(8)
 )
@@ -2839,6 +3210,12 @@ QUERIES = {
     "bm25_synonyms": q_bm25_synonyms,
     "bm25_function_score": q_bm25_function_score,
     "bm25_dismax": q_bm25_dismax,
+    "bm25_collapse": q_bm25_collapse,
+    "hybrid_rrf": q_hybrid_rrf,
+    "significant_terms": q_significant_terms,
+    "percolate": q_percolate,
+    "bm25_rescore": q_bm25_rescore,
+    "bm25f_title_body": q_bm25f_title_body,
     "bm25_topk_wand": q_bm25_wand,
     "bm25_topk_batch": q_bm25_batch,
     "bm25_conjunctive_indexed": q_bm25_conjunctive_indexed,

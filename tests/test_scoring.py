@@ -118,3 +118,91 @@ def test_ranked_offset_relabels(spark):
     rows = [(0, d, 1.0 / d) for d in range(1, 6)]
     got = ranked(_scores(spark, rows), k=2, offset=2).orderBy("rank").collect()
     assert [(r.rank, r.doc_id) for r in got] == [(3, 1), (4, 2)]
+
+
+def test_collapse_keeps_best_per_group(spark):
+    from ivfadc_spark.operators.scoring import collapse_topk
+
+    # groups: docs 1,2 -> gA; docs 3,4 -> gB. Best of gA = doc 1 (0.9),
+    # best of gB = doc 3 (0.7); losers 2 and 4 never reach the final rank
+    # even though doc 2 (0.8) outscores doc 3.
+    rows = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7), (0, 4, 0.1)]
+    attrs = spark.createDataFrame(
+        [(1, "gA"), (2, "gA"), (3, "gB"), (4, "gB")], "doc_id long, g string"
+    )
+    got = collapse_topk(_scores(spark, rows), attrs, "g", k=10).orderBy(
+        "rank"
+    ).collect()
+    assert [(r.rank, r.doc_id, r.g) for r in got] == [(1, 1, "gA"), (2, 3, "gB")]
+
+
+def test_collapse_group_tie_breaks_on_doc_id(spark):
+    from ivfadc_spark.operators.scoring import collapse_topk
+
+    # in-group score tie -> lowest doc_id represents the group (and scores
+    # differing only past 6dp round onto the tie)
+    rows = [(0, 5, 0.5000000001), (0, 2, 0.5), (0, 9, 0.4999999996)]
+    attrs = spark.createDataFrame(
+        [(2, "g"), (5, "g"), (9, "g")], "doc_id long, g string"
+    )
+    got = collapse_topk(_scores(spark, rows), attrs, "g", k=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(1, 2)]
+
+
+def test_rrf_fuse_sums_reciprocal_ranks(spark):
+    from ivfadc_spark.operators.scoring import rrf_fuse
+
+    def ranks(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "doc_id", "rank"]),
+            schema="query_id long, doc_id long, rank int",
+        )
+
+    # doc 1: rank 1 lexical + rank 2 vector = 1/61 + 1/62
+    # doc 2: rank 2 lexical only = 1/62 ; doc 3: rank 1 vector only = 1/61
+    lex = ranks([(0, 1, 1), (0, 2, 2)])
+    vec = ranks([(0, 3, 1), (0, 1, 2)])
+    got = rrf_fuse([lex, vec], k=10).orderBy("rank").collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(1, 1), (2, 3), (3, 2)]
+    assert got[0].score == round(1 / 61 + 1 / 62, 9)
+    # docs 3 and 2 differ (1/61 vs 1/62); equal-rank docs tie-break by id
+    assert got[1].score == round(1 / 61, 9)
+
+
+def test_rrf_fuse_single_list_is_rank_order(spark):
+    from ivfadc_spark.operators.scoring import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 7, 1), (0, 3, 2), (1, 4, 1)], "query_id long, doc_id long, rank int"
+    )
+    got = rrf_fuse([lex], k=1).orderBy("query_id").collect()
+    assert [(r.query_id, r.doc_id) for r in got] == [(0, 7), (1, 4)]
+
+
+def test_rescore_window_bounds_second_stage(spark):
+    from ivfadc_spark.operators.scoring import rescore_topk
+
+    # first pass: docs 1..4 scored 4,3,2,1. window=2 -> only docs 1,2 are
+    # rescorable; doc 3's huge secondary signal must NOT rescue it.
+    rows = [(0, 1, 4.0), (0, 2, 3.0), (0, 3, 2.0), (0, 4, 1.0)]
+    sec = spark.createDataFrame(
+        [(0, 2, 5.0), (0, 3, 100.0)], "query_id long, doc_id long, sec double"
+    )
+    got = rescore_topk(_scores(spark, rows), sec, window=2, k=2, weight=1.0).orderBy(
+        "rank"
+    ).collect()
+    # doc 2: 3+5=8 overtakes doc 1: 4+0 (no sec row -> 0, the ES default)
+    assert [(r.rank, r.doc_id, r.score) for r in got] == [(1, 2, 8.0), (2, 1, 4.0)]
+
+
+def test_rescore_weight_and_rounding(spark):
+    from ivfadc_spark.operators.scoring import rescore_topk
+
+    rows = [(0, 1, 1.0), (0, 2, 1.0)]
+    sec = spark.createDataFrame(
+        [(0, 1, 0.1), (0, 2, 0.3)], "query_id long, doc_id long, sec double"
+    )
+    got = rescore_topk(_scores(spark, rows), sec, window=10, k=2, weight=2.0).orderBy(
+        "rank"
+    ).collect()
+    assert [(r.doc_id, r.score) for r in got] == [(2, 1.6), (1, 1.2)]
