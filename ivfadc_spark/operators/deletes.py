@@ -186,7 +186,8 @@ def compact_segment(
                     )
                 elif has_dls:
                     dls = varint_decode(bytes(row.dls), n).astype(np.int64)
-                    new_dls = varint_encode(dls[lv].astype(np.uint64))
+                    live_dls = dls[lv]
+                    new_dls = varint_encode(live_dls.astype(np.uint64))
                 else:
                     new_dls = b""
                 live_ids = ids[lv]
@@ -217,6 +218,12 @@ def compact_segment(
                     "bytes": len(new_ids) + len(new_tfs) + len(new_dls),
                     "term_bucket": row.term_bucket,
                 }
+                if int(row.block_id) == -1:
+                    # sentinel doc-stat row: keep its stat columns truthful
+                    # after compaction (max_tf = live positive-dl doc count,
+                    # sum_tf = live token total — the stage-01 convention)
+                    d["max_tf"] = int((live_dls > 0).sum())
+                    d["sum_tf"] = int(live_dls.sum())
                 out_rows.append(d)
             if out_rows:
                 yield pd.DataFrame(out_rows)[cols]

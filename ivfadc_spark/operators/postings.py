@@ -49,8 +49,10 @@ BLOCKS_SCHEMA = (
 #
 # SENTINEL rows (term = NULL, block_id = -1) carry the per-chunk doc-length
 # sidecar: doc_ids = the chunk's doc ids (delta varint), dls = per-doc token
-# counts, n = docs in chunk. They live in partition term_bucket = -1, are
-# excluded from Segment.blocks, and give stage 02 n_docs/avgdl and the
+# counts, n = docs in chunk; max_tf = the chunk's POSITIVE-dl doc count and
+# sum_tf = its token total (plain columns, so stage 01's write observation
+# yields n_docs/avgdl with zero extra jobs). They live in partition
+# term_bucket = -1, are excluded from Segment.blocks, and give stage 02 the
 # (doc_id, dl) table without any extra corpus pass.
 
 # combiner salt layout: salt = source_partition_id * SALT_CHUNK_SPAN + chunk.
@@ -319,7 +321,12 @@ def build_blocks_inplace(
             # sentinel doc-stats row: the chunk's (doc_id -> dl) table,
             # zero-token docs included — stage 02 derives n_docs/avgdl and
             # the doc-length sidecar from these, so no other stage ever
-            # tokenizes the corpus
+            # tokenizes the corpus. The sentinel's max_tf column (always 0
+            # before, never read on sentinels by any scorer/fsck path)
+            # carries the chunk's POSITIVE-dl doc count and sum_tf its token
+            # total, so corpus stats ride the stage-01 write as a plain
+            # column aggregate — no decode pass needed before the stage-02
+            # dictionary job can start
             from ivfadc_spark.functions.codecs import delta_encode, varint_encode
 
             dstream = delta_encode(doc_ids)
@@ -335,7 +342,7 @@ def build_blocks_inplace(
                     pa.array([dstream], type=pa.binary()),
                     pa.array([b""], type=pa.binary()),
                     pa.array([lstream], type=pa.binary()),
-                    pa.array([0], type=pa.int64()),
+                    pa.array([int((dl_by_row > 0).sum())], type=pa.int64()),
                     pa.array([0], type=pa.int64()),
                     pa.array([int(dl_by_row.sum())], type=pa.int64()),
                     pa.array([len(dstream) + len(lstream)], type=pa.int64()),

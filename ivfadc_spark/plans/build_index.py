@@ -186,6 +186,21 @@ def build_index(
             docs = with_ids.select("doc_id", "text")
             n_shards = int(docs.rdd.getNumPartitions())
             blocks = build_blocks_inplace(docs, cfg)
+            # corpus stats ride the write: sentinel rows carry the chunk's
+            # positive-doc count (max_tf) and token total (sum_tf) as plain
+            # columns, so n_docs/avgdl land in the manifest with ZERO extra
+            # jobs — stage 02's dictionary job can then overlap the
+            # doc_lens decode instead of waiting for its observation
+            sobs = Observation("corpus_stats")
+            blocks = blocks.observe(
+                sobs,
+                F.sum(
+                    F.when(F.col("block_id") == -1, F.col("max_tf"))
+                ).alias("n_docs"),
+                F.sum(
+                    F.when(F.col("block_id") == -1, F.col("sum_tf"))
+                ).alias("tokens"),
+            )
             tf_cached = None
         else:
             n_shards = 0  # df-salted: not doc-sharded
@@ -235,6 +250,12 @@ def build_index(
         )
         if tf_cached is not None:
             tf_cached.unpersist()
+        else:
+            sn = int(sobs.get["n_docs"] or 0)
+            extra.update(
+                n_docs=sn,
+                avgdl=(float(sobs.get["tokens"]) / sn) if sn else 0.0,
+            )
         extra["n_shards"] = n_shards
         if measure_skew:
             extra["skew_ratio"] = _skew_ratio(spark.read.parquet(p_blocks))
@@ -277,27 +298,55 @@ def build_index(
                 F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
                 F.sum("dl").alias("tokens"),
             )
+            st1 = done["01_blocks"]
+            # n_docs/avgdl normally arrive from stage 01's write observation
+            # over the sentinel stat columns; a checkpoint written by an
+            # older build lacks them, and then the doc_lens decode's own
+            # observation supplies the stats (serializing the dict job
+            # behind it — the pre-round-4 shape)
+            have_stats = "n_docs" in st1
+            n_docs = int(st1["n_docs"]) if have_stats else 0
+            avgdl = float(st1["avgdl"]) if have_stats else 0.0
             from concurrent.futures import ThreadPoolExecutor
 
+            metrics_cached = metrics_out.persist()
             with ThreadPoolExecutor(max_workers=1) as pool:
                 lens_fut = pool.submit(
                     lambda: lens_out.write.mode("overwrite").parquet(
                         os.path.join(p_seg, "doc_lens")
                     )
                 )
-                metrics_out.write.mode("overwrite").parquet(p_metrics)
+                # metrics write materializes the per-term agg cache; the
+                # dictionary then derives from the CACHE (no parquet
+                # read-back) and overlaps the doc_lens job above — stage 02
+                # is two concurrent lanes instead of three serialized jobs
+                metrics_cached.write.mode("overwrite").parquet(p_metrics)
+                if have_stats:
+                    S.dictionary_from_metrics(
+                        metrics_cached.select("term", "postings", "cf"), n_docs
+                    ).write.mode("overwrite").parquet(p_dict)
                 lens_fut.result()
-            n_docs = int(obs.get["n_docs"] or 0)
-            avgdl = (float(obs.get["tokens"]) / n_docs) if n_docs else 0.0
+            obs_n = int(obs.get["n_docs"] or 0)
+            obs_avg = (float(obs.get["tokens"]) / obs_n) if obs_n else 0.0
+            if have_stats:
+                # decoded sidecar must agree with the stage-01 column stats —
+                # a free integrity check on the sentinel encode/decode pair
+                if (obs_n, round(obs_avg, 9)) != (n_docs, round(avgdl, 9)):
+                    raise ValueError(
+                        f"stage 02: doc_lens decode stats ({obs_n}, {obs_avg}) "
+                        f"disagree with stage-01 sentinel stats ({n_docs}, "
+                        f"{avgdl}) — sentinel corruption; rebuild"
+                    )
+            else:
+                n_docs, avgdl = obs_n, obs_avg
+                S.dictionary_from_metrics(
+                    metrics_cached.select("term", "postings", "cf"), n_docs
+                ).write.mode("overwrite").parquet(p_dict)
+            metrics_cached.unpersist()
         else:
             st1 = done["01_blocks"]
             n_docs, avgdl = st1["n_docs"], st1["avgdl"]
             metrics_out.write.mode("overwrite").parquet(p_metrics)
-        if cfg.doc_shards > 0:
-            # dictionary derived from the blocks (df = postings, cf summed)
-            S.dictionary_from_metrics(
-                spark.read.parquet(p_metrics).select("term", "postings", "cf"), n_docs
-            ).write.mode("overwrite").parquet(p_dict)
         met = mobs.get
         meta = {
             "n_docs": int(n_docs),
