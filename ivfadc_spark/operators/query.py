@@ -155,6 +155,37 @@ def bm25_topk_conjunctive(
     return topk(scored, k, cfg)
 
 
+def bm25_topk_msm(
+    queries: DataFrame,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    dl: DataFrame,
+    avgdl: float,
+    min_should_match: int,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """``minimum_should_match`` semantics (the Lucene BooleanQuery knob
+    between pure-OR and pure-AND): a ranked doc must contain at least
+    ``min_should_match`` DISTINCT query terms. ``m=1`` is :func:`bm25_topk`,
+    ``m = |terms|`` is :func:`bm25_topk_conjunctive`; a query with fewer
+    than ``m`` in-vocabulary terms returns nothing (Lucene's unsatisfiable
+    rewrite). Same broadcast probe join as the base path plus one COUNT in
+    the existing aggregate — no new shuffle."""
+    qt = query_terms(queries)
+    cand = tf.join(F.broadcast(qt), "term")
+    cand = cand.join(F.broadcast(dictionary.select("term", "idf")), "term")
+    cand = cand.join(dl, "doc_id").withColumn("avgdl", F.lit(float(avgdl)))
+    scored = (
+        cand.withColumn("partial", bm25_partial_score(cfg))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("n_match"))
+        .filter(F.col("n_match") >= int(min_should_match))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k, cfg)
+
+
 def facet_candidates(queries: DataFrame, segment) -> DataFrame:
     """Live (query_id, doc_id) candidates for facet-style aggregations: every
     non-tombstoned doc containing at least one query term (OR semantics).
@@ -247,6 +278,54 @@ def facet_counts(
         cand.join(dm, "doc_id")
         .groupBy("query_id", attr)
         .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def date_histogram(
+    queries: DataFrame,
+    segment,
+    ts_attrs: DataFrame,
+    granularity: str = "day",
+) -> DataFrame:
+    """Time-bucketed hit counts over the matching set (the ES
+    ``date_histogram`` aggregation under a query): per (query, truncated
+    timestamp bucket) count of live matching docs — "when was this
+    discussed" over a transcript corpus. ``ts_attrs``: (doc_id, ts) — the
+    per-doc timestamp attribute, joined against the CANDIDATE set only.
+    Shares :func:`facet_candidates`' pruned-scan plan (term_bucket
+    partition pruning + tombstone anti-join); the histogram is one
+    partial-aggregated count on (query, bucket) — never a corpus scan,
+    never a sort."""
+    cand = facet_candidates(queries, segment)
+    return (
+        cand.join(ts_attrs.select("doc_id", "ts"), "doc_id")
+        .withColumn("bucket", F.date_trunc(granularity, "ts"))
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def term_vectors(
+    doc_ids: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+) -> DataFrame:
+    """Per-document term vectors (the ES ``_termvectors`` API / Lucene
+    TermVectors): for a REQUESTED set of docs, per (doc, term) the tf plus
+    the corpus df — the debugging / MLT-seed surface. ``doc_ids``:
+    (doc_id) — request-sized, broadcast; the docs SOURCE table is probed
+    by doc_id pushdown (semi-join -> scan prune), never the term-major
+    index (reading a doc's vector from an inverted index is a full
+    dictionary scan — the classic anti-pattern this operator exists to
+    avoid). Tokenize runs over the requested docs only."""
+    sel = docs.join(F.broadcast(doc_ids.select("doc_id")), "doc_id", "leftsemi")
+    tf = (
+        sel.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return tf.join(F.broadcast(dictionary.select("term", "df")), "term").select(
+        "doc_id", "term", "tf", F.col("df").cast("long").alias("df")
     )
 
 

@@ -258,6 +258,110 @@ def rescore_topk(
     return ranked(rescored, k)
 
 
+def group_topk(
+    scores: DataFrame,
+    attrs: DataFrame,
+    group_field: str,
+    k: int,
+    score_mode: str = "max",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Group-scoped retrieval: rank GROUPS of documents, not documents —
+    the Elasticsearch parent-child / ``has_child`` ``score_mode`` contract,
+    and THE transcript-native retrieval unit (a turn matches, but the user
+    wants the conversation). Where :func:`collapse_topk` keeps one doc per
+    group and still ranks docs, this aggregates each (query, group)'s hit
+    scores into ONE group score — ``max`` (best turn represents the
+    conversation), ``sum`` (total evidence) or ``avg`` — and ranks groups.
+    Returns (query_id, rank, <group_field>, score, best_doc_id, n_hits):
+    the representative doc is the group's best hit (round(score) desc,
+    doc_id asc — replayable), n_hits the group's matching-doc count.
+
+    Scale shape: ``attrs`` (doc_id -> group value) joins the CANDIDATE set
+    only, never the corpus; the group reduce is one partial-aggregated
+    groupBy on (query, group) — strictly fewer rows out than in; the final
+    top-k is the usual bounded window sort. Per-hit scores round BEFORE
+    the aggregate so max/avg and the best-doc argmax replay in an oracle
+    (sum of rounded terms is order-free at 6dp for bounded fan-in).
+    Beyond the reference: its ranked list has no document grouping at all
+    (/root/reference/SearchEngine.cpp:194-212)."""
+    agg = {
+        "max": F.max("score"),
+        "sum": F.sum("score"),
+        "avg": F.avg("score"),
+    }[score_mode]
+    s = scores.withColumn("score", F.round("score", round_decimals)).join(
+        attrs, "doc_id"
+    )
+    g = s.groupBy("query_id", group_field).agg(
+        F.round(agg, round_decimals).alias("gscore"),
+        F.count("*").cast("long").alias("n_hits"),
+        # best hit = argmax over (score desc, doc_id asc): min of
+        # (-score, doc_id) as a struct — one aggregate, no second window
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("doc_id"))).alias("_b"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("gscore"), F.asc(group_field)
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            group_field,
+            F.col("gscore").alias("score"),
+            F.col("_b.doc_id").alias("best_doc_id"),
+            "n_hits",
+        )
+    )
+
+
+def hit_context(
+    hits: DataFrame,
+    doc_meta: DataFrame,
+    window: int = 1,
+) -> DataFrame:
+    """Context expansion: for every ranked hit, return the surrounding
+    turns of the same conversation within ``window`` positions — the
+    "show the reply with the question" contract of conversational search
+    (the ES top_hits-with-context / chat-window pattern). ``hits``:
+    (query_id, rank, doc_id, ...) — a bounded per-query top-k, so it is
+    query-sized and broadcasts. ``doc_meta``: (doc_id, conv_id, turn_idx)
+    — the doc_map fact table.
+
+    Plan: hits join doc_meta once to learn their (conv_id, turn_idx),
+    then broadcast against doc_meta on conv_id with a range predicate on
+    turn_idx — a broadcast-hash join whose build side is k*queries rows;
+    the corpus side is touched once, filtered by the conversation key.
+    Output: one row per (query, hit, context turn), the hit itself
+    included at offset 0."""
+    hm = hits.select("query_id", "rank", "doc_id").join(
+        doc_meta.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+    )
+    hm = F.broadcast(
+        hm.select(
+            "query_id", "rank", F.col("doc_id").alias("hit_doc_id"),
+            "conv_id", F.col("turn_idx").alias("hit_turn"),
+        )
+    )
+    ctx = hm.join(
+        doc_meta.select(
+            "conv_id", F.col("doc_id").alias("ctx_doc_id"),
+            F.col("turn_idx").alias("ctx_turn_idx"),
+        ),
+        "conv_id",
+    ).filter(
+        (F.col("ctx_turn_idx") >= F.col("hit_turn") - window)
+        & (F.col("ctx_turn_idx") <= F.col("hit_turn") + window)
+    )
+    return ctx.select(
+        "query_id", "rank", F.col("hit_doc_id").alias("doc_id"),
+        "ctx_doc_id", "ctx_turn_idx",
+        (F.col("ctx_turn_idx") - F.col("hit_turn")).cast("int").alias("offset"),
+    )
+
+
 def dismax_topk(
     partials: DataFrame,
     k: int,

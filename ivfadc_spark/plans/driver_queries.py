@@ -503,6 +503,97 @@ def q_percolate(spark, sf_dir):
     )
 
 
+def q_conv_topk(spark, sf_dir):
+    """Conversation-scoped retrieval (the ES parent-child ``has_child``
+    score_mode contract, and THE transcript-native result unit): turns
+    score with BM25, conversations rank by their BEST turn's rounded
+    score (score_mode=max); each conversation reports its representative
+    turn and matching-turn count. Conversation key mirrors the
+    transcripts adapter: conv = doc_id // 8."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import group_topk
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+    attrs = docs.select(
+        "doc_id", (F.col("doc_id") / 8).cast("long").alias("conv")
+    )
+    return group_topk(scores, attrs, "conv", k=5, score_mode="max")
+
+
+def q_hit_context(spark, sf_dir):
+    """Hit-context expansion (the chat-window / "show the reply with the
+    question" contract): the BM25 top-5 turns per query, each returned
+    with the adjacent turns (±1 turn_idx) of its conversation. doc_meta
+    mirrors the transcripts adapter (conv = doc_id // 8,
+    turn = doc_id % 8); context rows exist only where the corpus has
+    them — conversation boundaries fall out of the join, not special
+    cases."""
+    from ivfadc_spark.operators.query import bm25_topk
+    from ivfadc_spark.operators.scoring import hit_context
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    hits = bm25_topk(_queries_df(spark), tf, d, dl, cs["avgdl"], k=5)
+    meta = docs.select(
+        "doc_id",
+        (F.col("doc_id") / 8).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+    )
+    return hit_context(hits, meta, window=1)
+
+
+def q_bm25_min_should_match(spark, sf_dir):
+    """minimum_should_match=2 (the Lucene BooleanQuery knob between OR and
+    AND): ranked docs must contain >= 2 distinct query terms; one-term and
+    OOV-heavy queries return nothing."""
+    from ivfadc_spark.operators.query import bm25_topk_msm
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    res = bm25_topk_msm(
+        _queries_df(spark), tf, d, dl, cs["avgdl"], min_should_match=2, k=10
+    )
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+TERMVEC_DOC_IDS = [0, 3, 17, 42, 111]
+
+
+def q_term_vectors(spark, sf_dir):
+    """Term-vectors API (the ES ``_termvectors`` / Lucene TermVectors
+    surface): tf per (requested doc, term) plus corpus df — read from the
+    SOURCE table by doc_id pushdown, never by scanning the term-major
+    index for a doc's vector."""
+    from ivfadc_spark.operators.query import term_vectors
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    req = spark.createDataFrame([(i,) for i in TERMVEC_DOC_IDS], "doc_id long")
+    return term_vectors(req, docs, d)
+
+
+def q_date_histogram(spark, sf_dir):
+    """date_histogram aggregation under a query (the ES time-bucketed
+    hit-count agg — "when was this discussed"): per (query, day) count of
+    live matching docs, candidates from the index's pruned blocks scan.
+    Timestamp attribute is the deterministic per-doc ts
+    (2024-01-01 + doc_id*37 minutes — spreads sf0.01's docs over ~2
+    weeks), mirrored exactly in the oracle."""
+    from ivfadc_spark.operators.query import date_histogram
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    docs = _read(spark, sf_dir, "documents")
+    ts_attrs = docs.select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id*37,0)"
+        ).alias("ts"),
+    )
+    res = date_histogram(_queries_df(spark), seg, ts_attrs, granularity="day")
+    return res.select(
+        "query_id", F.col("bucket").cast("string").alias("bucket"), "n_docs"
+    )
+
+
 # unified parser queries: every clause form the grammar supports, mixed
 # (+must / -not, prefix, fuzzy, regex, 2-term phrases — the SQL replay
 # handles 2-term phrases; longer phrases are pytest-covered)
@@ -3196,6 +3287,96 @@ FROM ranked WHERE rank <= 10
 # whole-corpus occurrence count
 ORACLES["multi_segment_phrase"] = ORACLES["phrase_topk"]
 
+# conversation-scoped retrieval: per-turn BM25 scores round to 6dp, group
+# by conv = doc_id // 8 (the transcripts-adapter key), group score =
+# best turn (score_mode=max), representative doc = argmax by
+# (score desc, doc_id asc), groups rank by (score desc, conv asc)
+ORACLES["conv_topk"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, round(score, 6) AS score, doc_id // 8 AS conv
+      FROM scored),
+b AS (SELECT query_id, conv, doc_id, row_number() OVER (
+        PARTITION BY query_id, conv ORDER BY score DESC, doc_id) AS rn FROM r),
+g AS (SELECT query_id, conv, round(max(score), 6) AS score,
+             count(*)::BIGINT AS n_hits FROM r GROUP BY 1, 2),
+gb AS (SELECT g.query_id, g.conv, g.score, b.doc_id AS best_doc_id, g.n_hits
+       FROM g JOIN b ON g.query_id = b.query_id AND g.conv = b.conv AND b.rn = 1),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, conv) AS rank FROM gb)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, conv::BIGINT AS conv,
+       score, best_doc_id::BIGINT AS best_doc_id, n_hits
+FROM ranked WHERE rank <= 5
+"""
+
+# hit context: the unrounded BM25 top-5 per query (the bm25_topk
+# convention), each hit joined to its conversation's turns within +-1
+# turn_idx (conv = doc_id // 8, turn = doc_id % 8)
+ORACLES["hit_context"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+hits AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rank, doc_id FROM scored
+         QUALIFY rank <= 5),
+meta AS (SELECT doc_id, doc_id // 8 AS conv_id, (doc_id % 8)::INT AS turn_idx
+         FROM documents)
+SELECT h.query_id::BIGINT AS query_id, h.rank::INT AS rank,
+       h.doc_id::BIGINT AS doc_id, m2.doc_id::BIGINT AS ctx_doc_id,
+       m2.turn_idx AS ctx_turn_idx,
+       (m2.turn_idx - m1.turn_idx)::INT AS "offset"
+FROM hits h
+JOIN meta m1 ON h.doc_id = m1.doc_id
+JOIN meta m2 ON m1.conv_id = m2.conv_id
+            AND abs(m2.turn_idx - m1.turn_idx) <= 1
+"""
+
+# minimum_should_match=2: the base top-k with a HAVING on the distinct
+# matched-term count (qt is deduped, so count(*) counts distinct terms)
+ORACLES["bm25_min_should_match"] = _BM25_TOPK_SQL.format(
+    values=_values_sql()
+).replace(
+    "  GROUP BY 1, 2),",
+    "  GROUP BY 1, 2 HAVING count(*) >= 2),",
+)
+
+_TERMVEC_VALUES = ", ".join(f"({i})" for i in TERMVEC_DOC_IDS)
+ORACLES["term_vectors"] = f"""
+WITH
+{_BM25_CTES},
+req(doc_id) AS (VALUES {_TERMVEC_VALUES})
+SELECT tf.doc_id::BIGINT AS doc_id, tf.term, tf.tf::BIGINT AS tf,
+       dict.df::BIGINT AS df
+FROM tf JOIN req USING(doc_id) JOIN dict USING(term)
+"""
+
+# date_histogram: matching set = docs containing >= 1 query term (OR
+# semantics, distinct), bucketed by day of the deterministic per-doc ts
+ORACLES["date_histogram"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+m AS (SELECT DISTINCT qt.query_id, tok.doc_id FROM qt JOIN tok USING(term))
+SELECT query_id::BIGINT AS query_id,
+       date_trunc('day', TIMESTAMP '2024-01-01 00:00:00'
+                  + (doc_id * 37) * INTERVAL 1 MINUTE)::TIMESTAMP::VARCHAR AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m GROUP BY 1, 2
+"""
+
 
 QUERIES = {
     "fulltext_tf": q_tf,
@@ -3272,4 +3453,9 @@ QUERIES = {
     "multi_segment_batch": q_multi_segment_batch,
     "kmeans_recompute": q_kmeans_recompute,
     "kmeans_train": q_kmeans_train,
+    "conv_topk": q_conv_topk,
+    "hit_context": q_hit_context,
+    "bm25_min_should_match": q_bm25_min_should_match,
+    "term_vectors": q_term_vectors,
+    "date_histogram": q_date_histogram,
 }

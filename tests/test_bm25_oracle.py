@@ -178,3 +178,66 @@ def test_boolean_query_semantics(spark, docs_df):
     assert list(got["query_id"]) == list(want["query_id"])
     assert list(got["doc_id"]) == list(want["doc_id"])
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def _inputs(docs_df):
+    tf = S.term_frequencies(docs_df)
+    dl = S.doc_lengths(docs_df)
+    cs = S.corpus_stats(dl)
+    d = S.dictionary(tf, cs["n_docs"])
+    return tf, dl, cs, d
+
+
+def test_msm_limits_bracket_or_and(spark, docs_df):
+    """minimum_should_match=1 IS the base OR path; m=|terms| IS the
+    conjunctive path — the knob's two endpoints, rank-identical."""
+    from ivfadc_spark.operators.query import (
+        bm25_topk_conjunctive,
+        bm25_topk_msm,
+    )
+
+    tf, dl, cs, d = _inputs(docs_df)
+    q = spark.createDataFrame(
+        pd.DataFrame([(0, "table scan merge")], columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    base = _engine_topk(spark, docs_df)
+    base = base[base["query_id"] == 0].reset_index(drop=True)
+    m1 = (
+        bm25_topk_msm(q, tf, d, dl, cs["avgdl"], min_should_match=1, k=10)
+        .orderBy("rank").toPandas()
+    )
+    assert list(m1["doc_id"]) == list(base["doc_id"])
+    m3 = (
+        bm25_topk_msm(q, tf, d, dl, cs["avgdl"], min_should_match=3, k=10)
+        .orderBy("rank").toPandas()
+    )
+    conj = (
+        bm25_topk_conjunctive(q, tf, d, dl, cs["avgdl"], k=10)
+        .orderBy("rank").toPandas()
+    )
+    assert list(m3["doc_id"]) == list(conj["doc_id"])
+    np.testing.assert_allclose(m3["score"], conj["score"], rtol=1e-12)
+    # m beyond the term count is unsatisfiable
+    m4 = bm25_topk_msm(q, tf, d, dl, cs["avgdl"], min_should_match=4, k=10)
+    assert m4.count() == 0
+
+
+def test_term_vectors_match_brute_counts(spark, docs_df):
+    from ivfadc_spark.operators.query import term_vectors
+
+    tf, dl, cs, d = _inputs(docs_df)
+    req = spark.createDataFrame([(0,), (7,)], "doc_id long")
+    got = term_vectors(req, docs_df, d).toPandas()
+    assert set(got["doc_id"]) <= {0, 7}
+
+    import re
+    pat = re.compile(DEFAULT.token_pattern)
+    texts = {r.doc_id: r.text for r in docs_df.filter("doc_id in (0, 7)").collect()}
+    for did in (0, 7):
+        want = Counter(t for t in pat.split(texts[did].lower()) if t)
+        sub = got[got["doc_id"] == did]
+        assert dict(zip(sub["term"], sub["tf"])) == dict(want)
+    # df column is the corpus df, not the request-set df
+    dfs = {r.term: r.df for r in d.collect()}
+    assert all(int(r.df) == int(dfs[r.term]) for r in got.itertuples())

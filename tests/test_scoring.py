@@ -206,3 +206,99 @@ def test_rescore_weight_and_rounding(spark):
         "rank"
     ).collect()
     assert [(r.doc_id, r.score) for r in got] == [(2, 1.6), (1, 1.2)]
+
+
+# ---------------------------------------------------------------- group_topk
+
+
+def test_group_topk_max_mode_and_best_doc(spark):
+    from ivfadc_spark.operators.scoring import group_topk
+
+    # conv 0 = docs 1,2 (best 0.9); conv 1 = docs 8,9 (best 0.7, tie ->
+    # lower doc_id represents the group)
+    rows = [(0, 1, 0.9), (0, 2, 0.5), (0, 8, 0.7), (0, 9, 0.7)]
+    attrs = spark.createDataFrame(
+        [(1, 0), (2, 0), (8, 1), (9, 1)], "doc_id long, conv long"
+    )
+    got = group_topk(_scores(spark, rows), attrs, "conv", k=5).orderBy(
+        "rank"
+    ).collect()
+    assert [(r.rank, r.conv, r.score, r.best_doc_id, r.n_hits) for r in got] == [
+        (1, 0, 0.9, 1, 2),
+        (2, 1, 0.7, 8, 2),
+    ]
+
+
+def test_group_topk_sum_mode_reorders(spark):
+    from ivfadc_spark.operators.scoring import group_topk
+
+    # max mode ranks conv 0 first (0.9 > 0.8); sum mode flips it
+    # (0.8 + 0.8 = 1.6 > 0.9 + 0.1 = 1.0)
+    rows = [(0, 1, 0.9), (0, 2, 0.1), (0, 8, 0.8), (0, 9, 0.8)]
+    attrs = spark.createDataFrame(
+        [(1, 0), (2, 0), (8, 1), (9, 1)], "doc_id long, conv long"
+    )
+    s = _scores(spark, rows)
+    top_max = group_topk(s, attrs, "conv", k=1, score_mode="max").collect()[0]
+    top_sum = group_topk(s, attrs, "conv", k=1, score_mode="sum").collect()[0]
+    assert top_max.conv == 0 and top_sum.conv == 1 and top_sum.score == 1.6
+
+
+def test_group_topk_group_tie_breaks_on_group_value(spark):
+    from ivfadc_spark.operators.scoring import group_topk
+
+    rows = [(0, 1, 0.5), (0, 8, 0.5)]
+    attrs = spark.createDataFrame([(1, 7), (8, 3)], "doc_id long, conv long")
+    got = group_topk(_scores(spark, rows), attrs, "conv", k=2).orderBy(
+        "rank"
+    ).collect()
+    assert [(r.rank, r.conv) for r in got] == [(1, 3), (2, 7)]
+
+
+# --------------------------------------------------------------- hit_context
+
+
+def _meta(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "conv_id", "turn_idx"]),
+        schema="doc_id long, conv_id long, turn_idx int",
+    )
+
+
+def test_hit_context_window_and_boundaries(spark):
+    from ivfadc_spark.operators.scoring import hit_context
+
+    hits = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 12)], "query_id long, rank int, doc_id long"
+    )
+    # conv 5: turns 0,1,2 = docs 10,11,12 — hit 10 is the FIRST turn (no
+    # left neighbor), hit 12 the LAST (no right neighbor)
+    meta = _meta(spark, [(10, 5, 0), (11, 5, 1), (12, 5, 2), (99, 6, 0)])
+    got = hit_context(hits, meta, window=1).orderBy("doc_id", "ctx_turn_idx").collect()
+    assert [(r.doc_id, r.ctx_doc_id, r.offset) for r in got] == [
+        (10, 10, 0), (10, 11, 1),
+        (12, 11, -1), (12, 12, 0),
+    ]
+
+
+def test_hit_context_window_zero_is_identity(spark):
+    from ivfadc_spark.operators.scoring import hit_context
+
+    hits = spark.createDataFrame(
+        [(0, 1, 11)], "query_id long, rank int, doc_id long"
+    )
+    meta = _meta(spark, [(10, 5, 0), (11, 5, 1), (12, 5, 2)])
+    got = hit_context(hits, meta, window=0).collect()
+    assert [(r.doc_id, r.ctx_doc_id, r.offset) for r in got] == [(11, 11, 0)]
+
+
+def test_hit_context_never_crosses_conversations(spark):
+    from ivfadc_spark.operators.scoring import hit_context
+
+    hits = spark.createDataFrame(
+        [(0, 1, 20)], "query_id long, rank int, doc_id long"
+    )
+    # doc 21 is turn 1 of ANOTHER conv: adjacent doc_id, different conv
+    meta = _meta(spark, [(20, 1, 0), (21, 2, 1)])
+    got = hit_context(hits, meta, window=3).collect()
+    assert [(r.ctx_doc_id,) for r in got] == [(20,)]
