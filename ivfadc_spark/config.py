@@ -29,6 +29,19 @@ class EngineConfig:
     # Must stay expressible in both Spark SQL and DuckDB SQL (oracle parity).
     token_pattern: str = "[^a-z0-9]+"
 
+    # analyzer options (the Lucene StopFilter / LengthFilter analog),
+    # applied AFTER tokenization and BEFORE any counting — so dl, tf, df,
+    # avgdl and positional offsets all see the filtered token stream, as
+    # Lucene counts field length after analysis. stop_terms: comma-
+    # separated lowercase terms ("" = no stop list; kept a flat string so
+    # CParamReader key=value files can set it). min_token_len: tokens
+    # shorter than this are dropped (1 = keep all). Query-side needs no
+    # special casing: a stopped term never enters the dictionary, so it is
+    # OOV at query time — exactly Lucene's behavior when the same analyzer
+    # runs on the query.
+    stop_terms: str = ""
+    min_token_len: int = 1
+
     # posting blocks (analog of Entry{id, codes[nsq]} fixed-width packing,
     # /root/reference/entry.cpp:60-72 — ours is delta+varint, variable width)
     block_size: int = 128
@@ -65,6 +78,10 @@ class EngineConfig:
     term_buckets: int = 64  # postings dataset partition key = hash(term) % buckets
 
     extra: dict = field(default_factory=dict)
+
+    def stop_set(self) -> frozenset:
+        """The stop list as a frozenset ('' -> empty)."""
+        return frozenset(t for t in self.stop_terms.split(",") if t)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

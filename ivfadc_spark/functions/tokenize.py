@@ -27,10 +27,30 @@ from ivfadc_spark.config import DEFAULT
 TOKEN_PATTERN = DEFAULT.token_pattern
 
 
-def tokens_col(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
-    """array<string> of tokens, JVM-side (codegen'd, no Python)."""
+def tokens_col(
+    text: Column | str,
+    pattern: str = TOKEN_PATTERN,
+    stop: frozenset | set = frozenset(),
+    min_len: int = 1,
+) -> Column:
+    """array<string> of tokens, JVM-side (codegen'd, no Python). ``stop`` /
+    ``min_len`` apply the analyzer filter (Lucene StopFilter/LengthFilter):
+    stop terms and tokens shorter than ``min_len`` drop AFTER the split —
+    still pure Catalyst expressions (a literal array membership test)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.array_remove(F.split(F.lower(c), pattern), "")
+    arr = F.array_remove(F.split(F.lower(c), pattern), "")
+    if not stop and min_len <= 1:
+        return arr
+    conds = []
+    if min_len > 1:
+        conds.append(lambda t: F.length(t) >= min_len)
+    if stop:
+        lit = F.array(*[F.lit(s) for s in sorted(stop)])
+        conds.append(lambda t: ~F.array_contains(lit, t))
+    return F.filter(
+        arr,
+        lambda t: conds[0](t) if len(conds) == 1 else conds[0](t) & conds[1](t),
+    )
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -44,9 +64,42 @@ def tokenize_arrow(text: pd.Series) -> pd.Series:
     )
 
 
-def duckdb_tokens_sql(col: str = "text", pattern: str = TOKEN_PATTERN) -> str:
-    """DuckDB expression producing the same token array (oracle parity)."""
-    return f"list_filter(regexp_split_to_array(lower({col}), '{pattern}'), t -> t <> '')"
+def duckdb_tokens_sql(
+    col: str = "text",
+    pattern: str = TOKEN_PATTERN,
+    stop: frozenset | set = frozenset(),
+    min_len: int = 1,
+) -> str:
+    """DuckDB expression producing the same token array (oracle parity),
+    including the analyzer filter when ``stop`` / ``min_len`` are set."""
+    pred = "t <> ''"
+    if min_len > 1:
+        pred += f" AND length(t) >= {int(min_len)}"
+    if stop:
+        lst = ", ".join(f"'{s}'" for s in sorted(stop))
+        pred += f" AND t NOT IN ({lst})"
+    return f"list_filter(regexp_split_to_array(lower({col}), '{pattern}'), t -> {pred})"
+
+
+def filter_tokens(flat, par, stop: frozenset | set = frozenset(), min_len: int = 1):
+    """Analyzer filter over :func:`arrow_flat_tokens` output: drop stop
+    terms and tokens shorter than ``min_len`` from the (flat, parent)
+    pair — one vectorized mask (pyarrow is_in + length compare), no
+    per-token Python. Identity when both options are defaults."""
+    if not stop and min_len <= 1:
+        return flat, par
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keep = None
+    if min_len > 1:
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+    if stop:
+        m = pc.invert(pc.is_in(flat, value_set=pa.array(sorted(stop))))
+        keep = m if keep is None else pc.and_(keep, m)
+    kn = keep.to_numpy(zero_copy_only=False).astype(bool)
+    return flat.filter(keep), par[kn]
 
 
 def _byte_class_lut(pattern: str):

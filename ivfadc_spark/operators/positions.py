@@ -368,12 +368,15 @@ def near_topk(
     slop: int = 2,
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
+    ordered: bool = True,
 ) -> DataFrame:
-    """Ordered two-term proximity search (``A NEAR/slop B`` — the Lucene
-    SpanNearQuery(ordered) analog): an occurrence is a position p0 of the
-    first term with SOME position p1 of the second term in
+    """Two-term proximity search (``A NEAR/slop B`` — the Lucene
+    SpanNearQuery analog). Ordered (default): an occurrence is a position
+    p0 of the first term with SOME position p1 of the second term in
     (p0, p0 + slop + 1]; each start position counts once, so slop=0 is
-    exact bigram adjacency (consistent with :func:`phrase_topk`). Ranked
+    exact bigram adjacency (consistent with :func:`phrase_topk`).
+    ``ordered=False`` (SpanNearQuery inOrder=false): p1 may fall on either
+    side — 0 < |p1 - p0| <= slop + 1 — so "B ... A" matches too. Ranked
     by occurrence count desc then doc_id; zero-count docs drop out.
     Every query must tokenize to exactly two terms.
 
@@ -426,17 +429,19 @@ def near_topk(
         F.broadcast(pairs.select("query_id", F.col("t1").alias("term"))), "term"
     ).select("query_id", "doc_id", F.col("positions").alias("p1s"))
     win = int(slop) + 1
+    if ordered:
+        hit = lambda a: F.exists(  # noqa: E731
+            "p1s", lambda b: (b > a) & (b <= a + F.lit(win))
+        )
+    else:
+        hit = lambda a: F.exists(  # noqa: E731
+            "p1s",
+            lambda b: (b != a) & (b >= a - F.lit(win)) & (b <= a + F.lit(win)),
+        )
     cand = p0.join(p1, ["query_id", "doc_id"]).select(
         "query_id",
         "doc_id",
-        F.size(
-            F.filter(
-                "p0s",
-                lambda a: F.exists(
-                    "p1s", lambda b: (b > a) & (b <= a + F.lit(win))
-                ),
-            )
-        ).cast("long").alias("n_occ"),
+        F.size(F.filter("p0s", hit)).cast("long").alias("n_occ"),
     ).filter(F.col("n_occ") > 0)
     from pyspark.sql.window import Window
 

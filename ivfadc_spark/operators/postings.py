@@ -280,6 +280,7 @@ def build_blocks_inplace(
     """
     bsz = int(cfg.block_size)
     pattern = cfg.token_pattern
+    stop, min_len = cfg.stop_set(), int(cfg.min_token_len)
     chunk_tokens = int(cfg.encode_chunk_tokens)
     want_pos = bool(int(getattr(cfg, "with_positions", 0) or 0))
 
@@ -419,7 +420,7 @@ def build_blocks_inplace(
                 with_dls=False, positions=positions,
             )
 
-        from ivfadc_spark.functions.tokenize import arrow_flat_tokens
+        from ivfadc_spark.functions.tokenize import arrow_flat_tokens, filter_tokens
 
         for rb in batches:
             if rb.num_rows == 0:
@@ -427,7 +428,9 @@ def build_blocks_inplace(
             tbl = pa.Table.from_batches([rb])
             if state["pid"] is None:
                 state["pid"] = int(tbl.column("_pid")[0].as_py())
-            flat, par = arrow_flat_tokens(tbl.column("text"), pattern)
+            flat, par = filter_tokens(
+                *arrow_flat_tokens(tbl.column("text"), pattern), stop, min_len
+            )
             state["flats"].append(flat)
             state["pars"].append(par + state["rows"])
             state["docs"].append(tbl.column("doc_id").to_numpy(zero_copy_only=False))

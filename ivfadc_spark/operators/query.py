@@ -305,6 +305,31 @@ def date_histogram(
     )
 
 
+def attr_cardinality(
+    queries: DataFrame,
+    segment,
+    attrs: DataFrame,
+    attr: str,
+) -> DataFrame:
+    """Cardinality aggregation under a query (the ES ``cardinality`` agg):
+    per query, the matching-doc count AND the distinct count of a doc
+    attribute over the matching set — "how many conversations discuss
+    this". Candidates share :func:`facet_candidates`' pruned-scan plan;
+    the distinct count is one partial-aggregated groupBy. This is the
+    EXACT form (oracle-replayable); at 100 TB swap
+    ``F.approx_count_distinct`` (HyperLogLog++, one pass, bounded sketch
+    memory — what ES itself does) for the same plan shape."""
+    cand = facet_candidates(queries, segment)
+    return (
+        cand.join(attrs.select("doc_id", attr), "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(attr).cast("long").alias(f"n_{attr}"),
+        )
+    )
+
+
 def term_vectors(
     doc_ids: DataFrame,
     docs: DataFrame,

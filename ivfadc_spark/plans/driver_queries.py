@@ -503,6 +503,21 @@ def q_percolate(spark, sf_dir):
     )
 
 
+def q_bm25_stopwords(spark, sf_dir):
+    """Analyzer options through the FULL engine (the Lucene StopFilter +
+    LengthFilter contract): the index builds with a stop list and
+    min_token_len=2, so dl/tf/df/avgdl all reflect the filtered stream
+    (Lucene counts field length after analysis); stopped terms never enter
+    the dictionary, so query-side they are simply OOV — query 2 ("the
+    fast key order") scores without its "the". Oracle replays BM25 over
+    the identically-filtered tokenization."""
+    from ivfadc_spark.operators.wand import bm25_topk_indexed
+
+    seg = _get_segment(spark, sf_dir, _STOP_CFG, tag="stopwords")
+    res = bm25_topk_indexed(_queries_df(spark), seg, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_conv_topk(spark, sf_dir):
     """Conversation-scoped retrieval (the ES parent-child ``has_child``
     score_mode contract, and THE transcript-native result unit): turns
@@ -594,6 +609,19 @@ def q_date_histogram(spark, sf_dir):
     )
 
 
+def q_conv_cardinality(spark, sf_dir):
+    """Cardinality agg under a query (the ES ``cardinality`` aggregation):
+    per query, matching docs + DISTINCT conversations in the matching set
+    (conv = doc_id // 8) — exact here (oracle-replayable); the 100-TB
+    variant is approx_count_distinct (HLL++) on the same plan."""
+    from ivfadc_spark.operators.query import attr_cardinality
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    docs = _read(spark, sf_dir, "documents")
+    attrs = docs.select("doc_id", (F.col("doc_id") / 8).cast("long").alias("conv"))
+    return attr_cardinality(_queries_df(spark), seg, attrs, "conv")
+
+
 # unified parser queries: every clause form the grammar supports, mixed
 # (+must / -not, prefix, fuzzy, regex, 2-term phrases — the SQL replay
 # handles 2-term phrases; longer phrases are pytest-covered)
@@ -681,6 +709,21 @@ def q_near_search(spark, sf_dir):
         schema="query_id long, text string",
     )
     return near_topk(nq, seg, slop=3, k=10)
+
+
+def q_near_unordered(spark, sf_dir):
+    """Unordered proximity (SpanNearQuery inOrder=false): the second term
+    may precede the first — 0 < |p1-p0| <= slop+1 — so "B ... A" matches
+    too; same pruned positions probe, one sign change in the codegen'd
+    window predicate."""
+    from ivfadc_spark.operators.positions import near_topk
+
+    seg = _get_segment(spark, sf_dir, _POS_CFG, tag="fusedpos")
+    nq = spark.createDataFrame(
+        pd.DataFrame(NEAR_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    return near_topk(nq, seg, slop=3, k=10, ordered=False)
 
 
 # misspellings of known vocabulary, an in-vocabulary word (no rows), and
@@ -790,6 +833,10 @@ def _get_segment(spark, sf_dir, cfg: EngineConfig, doc_filter=None, tag: str = "
 
 
 _ENGINE_CFG = EngineConfig(block_size=64, salt_df_threshold=200, max_salts=4)
+_STOP_CFG = EngineConfig(
+    block_size=64, salt_df_threshold=200, max_salts=4,
+    stop_terms=",".join(STOPWORDS), min_token_len=2,
+)
 
 
 def q_bm25_wand(spark, sf_dir):
@@ -2407,6 +2454,11 @@ SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
 FROM ranked WHERE rank <= 10
 """
 
+ORACLES["near_unordered"] = ORACLES["near_search"].replace(
+    "AND p1.pos > p0.pos AND p1.pos <= p0.pos + 4",
+    "AND p1.pos <> p0.pos AND abs(p1.pos - p0.pos) <= 4",
+)
+
 # did-you-mean replay: OOV tokens only; suggestions ranked (dist asc,
 # df desc, term asc), top 3 per token
 _SUGGEST_VALUES = ", ".join(f"({i}, '{t}')" for i, t in SUGGEST_QUERYSET)
@@ -3287,6 +3339,32 @@ FROM ranked WHERE rank <= 10
 # whole-corpus occurrence count
 ORACLES["multi_segment_phrase"] = ORACLES["phrase_topk"]
 
+# stopword/min-length analyzer: the document tokenization filters the stop
+# list and 1-char tokens BEFORE any counting (dl/tf/df/avgdl all rescoped);
+# query tokenization stays unfiltered — stopped terms are absent from the
+# dictionary, so the dict join drops them (the OOV contract)
+_STOP_TOK = duckdb_tokens_sql("text", stop=frozenset(STOPWORDS), min_len=2)
+ORACLES["bm25_topk_stopwords"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_STOP_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
 # conversation-scoped retrieval: per-turn BM25 scores round to 6dp, group
 # by conv = doc_id // 8 (the transcripts-adapter key), group score =
 # best turn (score_mode=max), representative doc = argmax by
@@ -3363,6 +3441,18 @@ SELECT tf.doc_id::BIGINT AS doc_id, tf.term, tf.tf::BIGINT AS tf,
 FROM tf JOIN req USING(doc_id) JOIN dict USING(term)
 """
 
+# cardinality: matching set (OR semantics, distinct) -> per query the doc
+# count and the distinct conversation count (conv = doc_id // 8)
+ORACLES["conv_cardinality"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+m AS (SELECT DISTINCT qt.query_id, tok.doc_id FROM qt JOIN tok USING(term))
+SELECT query_id::BIGINT AS query_id, count(*)::BIGINT AS n_docs,
+       count(DISTINCT doc_id // 8)::BIGINT AS n_conv
+FROM m GROUP BY 1
+"""
+
 # date_histogram: matching set = docs containing >= 1 query term (OR
 # semantics, distinct), bucketed by day of the deterministic per-doc ts
 ORACLES["date_histogram"] = f"""
@@ -3411,6 +3501,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "suggest_terms": q_suggest_terms,
     "near_search": q_near_search,
+    "near_unordered": q_near_unordered,
     "regex_search": q_regex_search,
     "query_parser": q_query_parser,
     "bm25_topk_scoped": q_bm25_scoped,
@@ -3453,9 +3544,11 @@ QUERIES = {
     "multi_segment_batch": q_multi_segment_batch,
     "kmeans_recompute": q_kmeans_recompute,
     "kmeans_train": q_kmeans_train,
+    "bm25_topk_stopwords": q_bm25_stopwords,
     "conv_topk": q_conv_topk,
     "hit_context": q_hit_context,
     "bm25_min_should_match": q_bm25_min_should_match,
     "term_vectors": q_term_vectors,
     "date_histogram": q_date_histogram,
+    "conv_cardinality": q_conv_cardinality,
 }

@@ -704,3 +704,45 @@ def test_pq_index_append_equals_rebuild(spark, tmp_path):
     got = got.astype(want.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, want)
     assert got["vec_id"].tolist() == list(range(100))
+
+
+def test_near_unordered_matches_bruteforce_and_supersets_ordered(spark, tmp_path):
+    """ordered=False counts == the |p1-p0|<=slop+1 brute-force scan; every
+    ordered match is an unordered match (the reversed-direction hits only
+    add), and a reversed-order bigram that never appears left-to-right
+    matches ONLY unordered."""
+    import re
+
+    from ivfadc_spark.operators.positions import build_positions, near_topk
+
+    tx = synth_transcripts(spark, n_conversations=30)
+    seg = build_index(spark, tx, str(tmp_path / "nru"), cfg=CFG)
+    build_positions(spark, tx, seg.path, CFG)
+    queries = [(0, "headterm term000"), (1, "term000 headterm")]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    slop = 2
+    got = near_topk(qdf, seg, slop=slop, k=100, ordered=False).toPandas()
+
+    pat = re.compile(r"[^a-z0-9]+")
+    texts = tx.orderBy("conv_id", "turn_idx").toPandas()["text"].tolist()
+    want_rows = []
+    for qid, text in queries:
+        t0, t1 = text.split()
+        for d, s in enumerate(texts):
+            toks = [t for t in pat.split(s.lower()) if t]
+            P0 = [i for i, t in enumerate(toks) if t == t0]
+            P1 = [i for i, t in enumerate(toks) if t == t1]
+            n = sum(1 for a in P0 if any(b != a and abs(b - a) <= slop + 1 for b in P1))
+            if n:
+                want_rows.append((qid, d, n))
+    want = {(q, d): n for q, d, n in want_rows}
+    assert {(r.query_id, r.doc_id): r.n_occ for r in got.itertuples()} == want
+
+    # ordered hits are a subset (per (query, doc): ordered count <= unordered)
+    o = near_topk(qdf, seg, slop=slop, k=100, ordered=True).toPandas()
+    omap = {(r.query_id, r.doc_id): r.n_occ for r in o.itertuples()}
+    assert set(omap) <= set(want)
+    assert all(omap[k] <= want[k] for k in omap)

@@ -486,3 +486,91 @@ def test_regex_topk_anchored_expansion(spark, corpus):
     assert list(got["query_id"]) == list(want["query_id"])
     assert list(got["doc_id"]) == list(want["doc_id"])
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_analyzer_stopwords_rescope_index(spark, tmp_path):
+    """Analyzer options (stop_terms/min_token_len) through the build: the
+    stop term vanishes from the dictionary, dl rescopes to the filtered
+    stream, and the indexed path == a DataFrame path over pre-filtered
+    text. The synth vocabulary has a forced head term in >50% of turns —
+    the natural stop-list fixture."""
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.functions.tokenize import tokens_col
+
+    tx = synth_transcripts(spark, n_conversations=40)
+    cfg = EngineConfig(
+        block_size=16, salt_df_threshold=100, max_salts=4,
+        stop_terms="headterm", min_token_len=5,
+    )
+    seg = build_index(spark, tx, str(tmp_path / "stopseg"), cfg=cfg)
+    terms = {r.term for r in seg.dictionary.select("term").collect()}
+    assert "headterm" not in terms
+    assert all(len(t) >= 5 for t in terms)
+
+    # dl rescopes: segment doc_lens == filtered token counts of the source
+    from ivfadc_spark.sources.transcripts import assign_doc_ids, release_doc_ids
+
+    with_ids = assign_doc_ids(tx)
+    filt = tokens_col("text", stop=frozenset(["headterm"]), min_len=5)
+    want = {
+        r.doc_id: r.dl
+        for r in with_ids.select(
+            "doc_id", F.size(filt).alias("dl")
+        ).collect()
+        if r.dl > 0
+    }
+    got = {r.doc_id: r.dl for r in seg.doc_lengths.collect()}
+    release_doc_ids(with_ids)
+    assert {k: v for k, v in got.items() if v > 0} == want
+
+    # indexed search == DataFrame path over the pre-filtered text
+    docs = with_ids.select("doc_id", filt.alias("toks")).select(
+        "doc_id", F.array_join("toks", " ").alias("text")
+    )
+    tf = S.term_frequencies(docs)
+    dl = S.doc_lengths(docs)
+    cs = S.corpus_stats(dl)
+    d = S.dictionary(tf, cs["n_docs"])
+    q = _queries_df(spark)
+    want_df = (
+        bm25_topk(q, tf, d, dl, cs["avgdl"], k=10)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    got_df = (
+        bm25_topk_indexed(q, seg, k=10).orderBy("query_id", "rank").toPandas()
+    )
+    assert list(got_df["doc_id"]) == list(want_df["doc_id"])
+
+
+def test_filter_tokens_matches_tokens_col(spark):
+    """The Arrow kernel filter and the Catalyst filter agree token-for-token
+    (including empty-after-filter docs and unicode)."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from ivfadc_spark.functions.tokenize import (
+        arrow_flat_tokens,
+        filter_tokens,
+        tokens_col,
+    )
+
+    texts = ["the big CAT", "a a a", "", None, "xy zécafé the theo", "no stop here at all"]
+    stop, min_len = frozenset(["the", "a"]), 3
+    flat, par = filter_tokens(
+        *arrow_flat_tokens(pa.array(texts, type=pa.string())), stop, min_len
+    )
+    got: dict[int, list] = {}
+    for t, p in zip(flat.to_pylist(), par):
+        got.setdefault(int(p), []).append(t)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    want = {
+        r.i: r.toks
+        for r in df.select(
+            "i", tokens_col("text", stop=stop, min_len=min_len).alias("toks")
+        ).collect()
+        if r.toks
+    }
+    assert got == want
