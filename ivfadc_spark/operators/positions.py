@@ -60,13 +60,20 @@ def _member_positions(segment: Segment, buckets, terms) -> DataFrame:
     )
 
 
-def doc_term_positions(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_term_positions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
     """(doc_id, term, positions) with 0-based token offsets — the positional
     analog of stats.term_frequencies_mapside: one Arrow pass, no shuffle,
-    no Python string objects (RE2 split + dictionary-encode + lexsort)."""
-    from ivfadc_spark.config import DEFAULT as _D
-
-    pattern = _D.token_pattern
+    no Python string objects (RE2 split + dictionary-encode + lexsort).
+    Honors the cfg analyzer (stop_terms/min_token_len) so sidecar offsets
+    match a filtered build's fused twin rows: offsets index the KEPT
+    token stream, exactly like the combiner kernel."""
+    pattern = cfg.token_pattern
+    stop, min_len = cfg.stop_set(), int(cfg.min_token_len)
 
     def gen(batches):
         from ivfadc_spark.functions.arrow_pool import use_scalable_pool
@@ -75,13 +82,15 @@ def doc_term_positions(docs: DataFrame, text_col: str = "text", id_col: str = "d
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from ivfadc_spark.functions.tokenize import arrow_flat_tokens
+        from ivfadc_spark.functions.tokenize import arrow_flat_tokens, filter_tokens
 
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([rb])
-            flat, par = arrow_flat_tokens(tbl.column(text_col), pattern)
+            flat, par = filter_tokens(
+                *arrow_flat_tokens(tbl.column(text_col), pattern), stop, min_len
+            )
             if len(flat) == 0:
                 continue
             # 0-based offset within each doc's kept-token stream
@@ -132,7 +141,7 @@ def build_positions(
     with_ids = assign_doc_ids(transcripts)
     out = os.path.join(segment_path, "positions")
     (
-        doc_term_positions(with_ids.select("doc_id", "text"))
+        doc_term_positions(with_ids.select("doc_id", "text"), cfg=cfg)
         .withColumn(
             "term_bucket",
             F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int"),
