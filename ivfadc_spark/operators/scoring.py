@@ -190,6 +190,43 @@ def collapse_topk(
     return ranked(best, k)
 
 
+def bucket_top_hits(
+    scores: DataFrame,
+    attrs: DataFrame,
+    group_field: str,
+    per_bucket: int,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """top_hits sub-aggregation (the Elasticsearch ``top_hits`` agg under a
+    ``terms`` bucket): per (query, bucket) the best ``per_bucket`` hits —
+    "show me the strongest example from each role/source/conversation".
+    The dual of :func:`collapse_topk`: collapse keeps one hit per group in
+    ONE ranked list; top_hits keeps a ranked list PER group.
+
+    ``attrs``: (doc_id, <group_field>) joined against the candidate set
+    only. One window row_number per (query, bucket) — Catalyst lowers the
+    rank<=N filter to a per-partition bounded sort, no global sort. Scores
+    round before ranking so every bucket's order is oracle-replayable."""
+    s = (
+        scores.withColumn("score", F.round("score", round_decimals))
+        .join(attrs, "doc_id")
+    )
+    w = Window.partitionBy("query_id", group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        s.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= per_bucket)
+        .select(
+            "query_id",
+            group_field,
+            F.col("hit_rank").cast("int").alias("hit_rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int,

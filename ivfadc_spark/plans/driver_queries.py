@@ -998,6 +998,73 @@ def q_facet_stats(spark, sf_dir):
     )
 
 
+def q_facet_top_hits(spark, sf_dir):
+    """top_hits sub-aggregation (ES ``top_hits`` under a ``terms`` bucket):
+    per (query, role) the 2 best-scoring hits — the dual of field
+    collapsing (one ranked list PER bucket instead of one hit per bucket
+    in one list). Role is the deterministic doc_id%3 mapping the facet
+    entries already mirror."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import bucket_top_hits
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+    attrs = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+    )
+    return bucket_top_hits(scores, attrs, "role", per_bucket=2)
+
+
+def q_bm25_range_filter(spark, sf_dir):
+    """Range filter context (the ES bool-query ``filter`` clause with a
+    ``range`` on a date field / Lucene PointRangeQuery): top-k over only
+    docs whose timestamp falls in [2024-01-03, 2024-01-08), scored with
+    FULL-corpus statistics — a filter never changes idf/avgdl (Lucene
+    filter context contributes no score). Timestamps are the deterministic
+    per-doc ts (2024-01-01 + doc_id*37 minutes, the date_histogram
+    convention); the mask is a doc_space keep-mask through the batch TAAT
+    kernel, same plumbing as tombstones and attribute scoping."""
+    from ivfadc_spark.operators.deletes import attribute_mask
+    from ivfadc_spark.operators.wand import bm25_topk_batch
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    ts = "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id*37,0)"
+    pred = F.expr(
+        f"{ts} >= timestamp'2024-01-03 00:00:00' AND "
+        f"{ts} < timestamp'2024-01-08 00:00:00'"
+    )
+    mask = attribute_mask(seg, pred)
+    res = bm25_topk_batch(_queries_df(spark), seg, k=10, doc_mask=mask)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_recency_decay(spark, sf_dir):
+    """Recency-decayed relevance (the ES function_score ``linear`` decay on
+    a date field — "prefer recent conversations"): final = bm25 * (0.2 +
+    0.8 * max(0, 1 - |age|/scale)) with origin 2024-01-15, scale 30 days,
+    re-ranked on the rounded boosted score. Linear decay is pure IEEE
+    arithmetic (no exp/gauss libm calls), so engine and oracle agree
+    bit-for-bit; ts is the deterministic per-doc encoding (2024-01-01 +
+    doc_id*37 min), giving age_minutes = |20160 - doc_id*37|."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import function_score
+
+    docs, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+    feats = docs.select(
+        "doc_id", F.abs(F.lit(20160.0) - F.col("doc_id") * 37).alias("age_min")
+    )
+    decay = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("age_min") / F.lit(43200.0))
+    boost = F.lit(0.2) + F.lit(0.8) * decay
+    return function_score(scores, feats, boost, 10)
+
+
 # document updates (upsert): old versions tombstoned in the base segment,
 # new text ingested as an LSM delta segment, both queried as one corpus
 UPDATED_PREFIX = "revised patch note "
@@ -2212,6 +2279,63 @@ SELECT query_id::BIGINT AS query_id,
        max(d.n_chars)::BIGINT AS max_n_chars
 FROM cand JOIN documents d USING(doc_id) GROUP BY 1, 2
 """.format(values=_values_sql())
+
+# top_hits per bucket: per (query, role) the 2 best hits on the rounded
+# score (doc_id tiebreak), role = the deterministic doc_id%3 mapping
+ORACLES["facet_top_hits"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ), 6) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+bucketed AS (
+  SELECT query_id,
+         CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         row_number() OVER (PARTITION BY query_id, doc_id % 3
+                            ORDER BY score DESC, doc_id) AS hit_rank,
+         doc_id, score
+  FROM scored)
+SELECT query_id::BIGINT AS query_id, role, hit_rank::INT AS hit_rank,
+       doc_id::BIGINT AS doc_id, score
+FROM bucketed WHERE hit_rank <= 2
+"""
+
+# range filter context: candidates restricted to the ts window, statistics
+# full-corpus (the Lucene filter-context contract); ts = 2024-01-01 +
+# doc_id*37 minutes, same encoding as date_histogram
+ORACLES["bm25_range_filter"] = _bm25_masked_sql(
+    "(TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(tf.doc_id*37 AS BIGINT))"
+    " >= TIMESTAMP '2024-01-03 00:00:00'"
+    " AND TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(tf.doc_id*37 AS BIGINT))"
+    " < TIMESTAMP '2024-01-08 00:00:00')"
+)
+
+# linear recency decay: pure IEEE arithmetic replay of the boost
+ORACLES["bm25_recency_decay"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+boosted AS (SELECT query_id, doc_id,
+                   round(score * (0.2 + 0.8 * greatest(0.0,
+                         1.0 - abs(20160.0 - doc_id*37) / 43200.0)), 6) AS score
+            FROM scored),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM boosted)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10
+"""
 
 _UPDATE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in UPDATE_QUERYSET)
 # document update replay: corpus = old text of EVERY doc (stats keep the
@@ -3545,6 +3669,9 @@ QUERIES = {
     "kmeans_recompute": q_kmeans_recompute,
     "kmeans_train": q_kmeans_train,
     "bm25_topk_stopwords": q_bm25_stopwords,
+    "facet_top_hits": q_facet_top_hits,
+    "bm25_range_filter": q_bm25_range_filter,
+    "bm25_recency_decay": q_bm25_recency_decay,
     "conv_topk": q_conv_topk,
     "hit_context": q_hit_context,
     "bm25_min_should_match": q_bm25_min_should_match,

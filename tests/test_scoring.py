@@ -302,3 +302,60 @@ def test_hit_context_never_crosses_conversations(spark):
     meta = _meta(spark, [(20, 1, 0), (21, 2, 1)])
     got = hit_context(hits, meta, window=3).collect()
     assert [(r.ctx_doc_id,) for r in got] == [(20,)]
+
+
+def _attrs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "g"]),
+        schema="doc_id long, g string",
+    )
+
+
+def test_bucket_top_hits_ranks_within_bucket(spark):
+    from ivfadc_spark.operators.scoring import bucket_top_hits
+
+    # two buckets; bucket 'a' has 3 hits (only 2 survive), 'b' has 1
+    rows = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7), (0, 4, 0.5)]
+    attrs = _attrs(spark, [(1, "a"), (2, "b"), (3, "a"), (4, "a")])
+    got = (
+        bucket_top_hits(_scores(spark, rows), attrs, "g", per_bucket=2)
+        .orderBy("g", "hit_rank")
+        .collect()
+    )
+    assert [(r.g, r.hit_rank, r.doc_id) for r in got] == [
+        ("a", 1, 1), ("a", 2, 3), ("b", 1, 2),
+    ]
+
+
+def test_bucket_top_hits_rounds_then_ties_on_doc_id(spark):
+    from ivfadc_spark.operators.scoring import bucket_top_hits
+
+    # scores differ only past 6dp -> tie; lower doc_id wins rank 1
+    rows = [(0, 9, 0.1000000001), (0, 5, 0.1000000004)]
+    attrs = _attrs(spark, [(9, "a"), (5, "a")])
+    got = (
+        bucket_top_hits(_scores(spark, rows), attrs, "g", per_bucket=2)
+        .orderBy("hit_rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [5, 9]
+
+
+def test_bucket_top_hits_rank1_equals_collapse_winners(spark):
+    from ivfadc_spark.operators.scoring import bucket_top_hits, collapse_topk
+
+    # the duality: top_hits hit_rank=1 per bucket == collapse's group
+    # winners (before collapse's final global re-rank)
+    rows = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.95), (0, 4, 0.5), (0, 5, 0.6)]
+    attrs = _attrs(spark, [(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, "b")])
+    th = {
+        (r.g, r.doc_id)
+        for r in bucket_top_hits(
+            _scores(spark, rows), attrs, "g", per_bucket=1
+        ).collect()
+    }
+    col = {
+        r.doc_id
+        for r in collapse_topk(_scores(spark, rows), attrs, "g", k=10).collect()
+    }
+    assert {d for _, d in th} == col
