@@ -305,6 +305,32 @@ def date_histogram(
     )
 
 
+def value_histogram(
+    queries: DataFrame,
+    segment,
+    feats: DataFrame,
+    value_col: str,
+    interval: int,
+) -> DataFrame:
+    """Fixed-interval numeric histogram over the matching set (the ES
+    ``histogram`` aggregation under a query): per (query, floor(value /
+    interval) * interval) count of live matching docs — the numeric twin
+    of :func:`date_histogram`. ``feats``: (doc_id, <value_col>) joined
+    against the CANDIDATE set only; bucketing is exact integer arithmetic
+    so any oracle replays it bit-for-bit. Same pruned-scan plan as every
+    facet aggregation; one partial-aggregated count, never a sort."""
+    cand = facet_candidates(queries, segment)
+    bucket = (F.floor(F.col(value_col) / F.lit(int(interval))) * int(interval)).cast(
+        "long"
+    )
+    return (
+        cand.join(feats.select("doc_id", value_col), "doc_id")
+        .withColumn("bucket", bucket)
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def attr_cardinality(
     queries: DataFrame,
     segment,

@@ -454,3 +454,28 @@ def merge_segments(
     with open(os.path.join(out_path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return Segment(spark, out_path)
+
+
+def segment_stats(segment) -> DataFrame:
+    """Index statistics (the ES ``_stats`` / Lucene ``IndexReader`` counts,
+    the reference's post-build summary print, /root/reference/main.cpp:88):
+    ONE row — n_docs, distinct terms, total postings (Σ df), total tokens
+    (Σ cf), avgdl — computed from the segment's own metadata + dictionary,
+    NEVER a corpus or postings scan (the dictionary is vocabulary-sized).
+    avgdl is re-derived as Σcf / n_docs (exact integer sums, so any oracle
+    replays the division bit-for-bit). Works for a Segment or a federated
+    SegmentSet (both expose meta["n_docs"] and a dictionary view)."""
+    n_docs = int(segment.meta["n_docs"])
+    return (
+        segment.dictionary.agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("cf").cast("long").alias("total_tokens"),
+        )
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn(
+            "avgdl",
+            F.round(F.col("total_tokens") / F.lit(float(n_docs)), 6),
+        )
+        .select("n_docs", "n_terms", "n_postings", "total_tokens", "avgdl")
+    )

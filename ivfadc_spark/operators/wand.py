@@ -1040,6 +1040,43 @@ def suggest_terms(
     )
 
 
+def complete_prefix(
+    queries: DataFrame,
+    segment: Segment,
+    n_suggest: int = 5,
+) -> DataFrame:
+    """Completion suggester (the ES suggest-as-you-type / Lucene
+    completion-field contract): for each query's partial token, the top
+    dictionary terms extending it — ranked by document frequency desc then
+    term asc (popularity-weighted completions). ``queries``: (query_id,
+    text) where text IS the partial token; a prefix with no extensions
+    produces no rows.
+
+    Scale shape: the prefix set is query metadata broadcast against ONE
+    dictionary pass (the :func:`fuzzy_topk` expansion shape); the ranking
+    window partitions per query over at most vocabulary-sized candidates.
+    Postings are never touched — completion is a dictionary-only surface.
+    """
+    from pyspark.sql.window import Window
+
+    pref = queries.select("query_id", F.lower(F.trim(F.col("text"))).alias("prefix"))
+    cand = segment.dictionary.select("term", "df").join(
+        F.broadcast(pref), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(n_suggest))
+        .select(
+            "query_id",
+            "prefix",
+            F.col("rn").cast("int").alias("rn"),
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
 def regex_topk(
     queries: DataFrame,
     segment: Segment,

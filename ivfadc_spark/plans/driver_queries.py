@@ -998,6 +998,48 @@ def q_facet_stats(spark, sf_dir):
     )
 
 
+# "s" extends to 6 dictionary terms (scan, small, slow, sort, spark,
+# stream) so the top-5 cut actually fires; the last prefix matches nothing
+COMPLETE_QUERYSET = [(0, "s"), (1, "c"), (2, "qu"), (3, "zzqx")]
+
+
+def q_complete_prefix(spark, sf_dir):
+    """Completion suggester (ES suggest-as-you-type): per partial token the
+    top-5 dictionary completions ranked df desc, term asc. The last prefix
+    has no extensions and contributes no rows — the empty-suggest case."""
+    from ivfadc_spark.operators.wand import complete_prefix
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    q = spark.createDataFrame(
+        pd.DataFrame(COMPLETE_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    return complete_prefix(q, seg, n_suggest=5)
+
+
+def q_value_histogram(spark, sf_dir):
+    """Numeric histogram agg under a query (the ES ``histogram`` agg,
+    interval=200 on n_chars): per (query, bucket) count of matching docs —
+    the length distribution of the hits. Exact integer bucketing."""
+    from ivfadc_spark.operators.query import value_histogram
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    feats = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return value_histogram(_queries_df(spark), seg, feats, "n_chars", interval=200)
+
+
+def q_index_stats(spark, sf_dir):
+    """Index statistics (ES ``_stats``): one row of corpus-level counts
+    read from segment metadata + the vocabulary-sized dictionary — the ops
+    surface that never scans postings. The oracle recomputes every number
+    from the raw corpus, so this doubles as a build-integrity gate on
+    n_docs / df / cf / avgdl."""
+    from ivfadc_spark.operators.segments import segment_stats
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    return segment_stats(seg)
+
+
 def q_facet_top_hits(spark, sf_dir):
     """top_hits sub-aggregation (ES ``top_hits`` under a ``terms`` bucket):
     per (query, role) the 2 best-scoring hits — the dual of field
@@ -2279,6 +2321,52 @@ SELECT query_id::BIGINT AS query_id,
        max(d.n_chars)::BIGINT AS max_n_chars
 FROM cand JOIN documents d USING(doc_id) GROUP BY 1, 2
 """.format(values=_values_sql())
+
+# completion suggester: dictionary terms extending each prefix, ranked
+# df desc, term asc, top 5 per prefix
+_COMPLETE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in COMPLETE_QUERYSET)
+ORACLES["complete_prefix"] = f"""
+WITH prefixes(query_id, prefix) AS (VALUES {_COMPLETE_VALUES}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (SELECT p.query_id, p.prefix, d.term, d.df
+         FROM prefixes p JOIN dict d ON d.term LIKE p.prefix || '%'),
+ranked AS (SELECT query_id, prefix,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY df DESC, term) AS rn,
+                  term, df
+           FROM cand)
+SELECT query_id::BIGINT AS query_id, prefix, rn::INT AS rn,
+       term AS suggestion, df::BIGINT AS df
+FROM ranked WHERE rn <= 5
+"""
+
+# numeric histogram: exact integer bucketing, same matching set as facets
+# (no tombstones on this segment)
+ORACLES["value_histogram"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+cand AS (SELECT DISTINCT qt.query_id, tok.doc_id FROM qt JOIN tok USING(term))
+SELECT query_id::BIGINT AS query_id,
+       (CAST(floor(d.n_chars / 200.0) AS BIGINT) * 200)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM cand JOIN documents d USING(doc_id) GROUP BY 1, 2
+"""
+
+# index stats: every number recomputed from the raw corpus
+ORACLES["index_stats"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1)
+SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       (SELECT sum(tf) FROM tf)::BIGINT AS total_tokens,
+       round((SELECT sum(tf) FROM tf) / (SELECT count(*)::DOUBLE FROM dl), 6)
+         AS avgdl
+"""
 
 # top_hits per bucket: per (query, role) the 2 best hits on the rounded
 # score (doc_id tiebreak), role = the deterministic doc_id%3 mapping
@@ -3670,6 +3758,9 @@ QUERIES = {
     "kmeans_train": q_kmeans_train,
     "bm25_topk_stopwords": q_bm25_stopwords,
     "facet_top_hits": q_facet_top_hits,
+    "complete_prefix": q_complete_prefix,
+    "value_histogram": q_value_histogram,
+    "index_stats": q_index_stats,
     "bm25_range_filter": q_bm25_range_filter,
     "bm25_recency_decay": q_bm25_recency_decay,
     "conv_topk": q_conv_topk,
