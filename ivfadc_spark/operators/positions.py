@@ -371,6 +371,89 @@ def highlight_topk(
     )
 
 
+def span_first_topk(
+    queries: DataFrame,
+    segment: Segment,
+    end: int,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Position-bounded term search (the Lucene SpanFirstQuery analog): a
+    doc matches when the query term occurs with token position < ``end``
+    (span end <= end in Lucene terms) — "the term appears in the opening
+    of the document/turn". Each query must tokenize to exactly ONE term.
+    Returns (query_id, rank, doc_id, first_pos, n_occ_within): ranked by
+    first qualifying position asc (earlier mention ranks higher), doc_id
+    tiebreak; ``n_occ_within`` counts occurrences inside the window.
+
+    Scale shape: identical to phrase/proximity — term IN + term_bucket
+    partition pruning on the positions source, the position test is a
+    codegen'd array expression on in-doc occurrence lists (positions are
+    stored ascending, so the first element decides the match). SegmentSet
+    members probe independently with doc_base shifts."""
+    from ivfadc_spark.functions.tokenize import tokens_col
+
+    k = k or cfg.top_k
+    spark = segment.spark
+    n_buckets = int(segment.meta["config"].get("term_buckets", cfg.term_buckets))
+
+    qrows = queries.select(
+        "query_id", tokens_col("text").alias("toks")
+    ).collect()  # query metadata only — the documented broker
+    bad = [r["query_id"] for r in qrows if len(r["toks"]) != 1]
+    if bad:
+        raise ValueError(
+            f"span_first_topk: queries must have exactly one term, got {bad}"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, first_pos long, n_occ_within long"
+        )
+    terms = sorted({r["toks"][0] for r in qrows})
+    buckets = sorted({
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    })
+    if isinstance(segment, SegmentSet):
+        positions = None
+        for s, off in zip(segment.segments, segment.offsets):
+            p = _member_positions(s, buckets, terms)
+            if off:
+                p = p.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(int(off))).cast("long")
+                )
+            positions = p if positions is None else positions.unionByName(p)
+    else:
+        positions = _member_positions(segment, buckets, terms)
+
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["toks"][0]) for r in qrows], "query_id long, term string"
+    )
+    # positions are stored ascending -> element 1 is the first occurrence;
+    # the window filter is a codegen'd higher-order expression
+    within = F.filter("positions", lambda p: p < F.lit(int(end)))
+    cand = (
+        positions.join(F.broadcast(pairs), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.try_element_at(within, F.lit(1)).alias("first_pos"),
+            F.size(within).cast("long").alias("n_occ_within"),
+        )
+        .filter(F.col("first_pos").isNotNull())
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("first_pos"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "first_pos", "n_occ_within")
+    )
+
+
 def near_topk(
     queries: DataFrame,
     segment: Segment,

@@ -331,6 +331,43 @@ def value_histogram(
     )
 
 
+def histogram_pipeline(
+    hist: DataFrame,
+    mavg_window: int = 3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pipeline aggregations over a histogram (the ES ``cumulative_sum`` /
+    ``derivative`` / ``moving_avg`` pipeline aggs): given any (query_id,
+    bucket, n_docs) frame — :func:`date_histogram` or
+    :func:`value_histogram` output — compute per query, in bucket order:
+    the running total, the bucket-over-bucket delta (first bucket deltas
+    from 0, matching a histogram that starts empty), and the trailing
+    ``mavg_window``-bucket moving average (partial windows average what
+    exists, the ES ``moving_fn`` default).
+
+    Scale shape: pipeline aggs are post-aggregation — the input is
+    (queries x buckets) rows, never corpus-sized (ES runs these on the
+    coordinating node). One window partitioned by query_id; sums/counts
+    are exact integer arithmetic, the average divides once and rounds, so
+    any oracle replays every column bit-for-bit."""
+    wb = Window.partitionBy("query_id").orderBy(F.asc("bucket"))
+    wsum = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wavg = wb.rowsBetween(-(int(mavg_window) - 1), Window.currentRow)
+    return hist.select(
+        "query_id",
+        "bucket",
+        "n_docs",
+        F.sum("n_docs").over(wsum).cast("long").alias("cum_docs"),
+        (F.col("n_docs") - F.coalesce(F.lag("n_docs", 1).over(wb), F.lit(0)))
+        .cast("long")
+        .alias("deriv"),
+        F.round(
+            F.sum("n_docs").over(wavg) / F.count("n_docs").over(wavg),
+            round_decimals,
+        ).alias("mavg"),
+    )
+
+
 def attr_cardinality(
     queries: DataFrame,
     segment,

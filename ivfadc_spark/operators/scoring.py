@@ -190,6 +190,41 @@ def collapse_topk(
     return ranked(best, k)
 
 
+def diversify_topk(
+    scores: DataFrame,
+    attrs: DataFrame,
+    group_field: str,
+    max_per_group: int,
+    k: int,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Diversified top-k (the ES ``collapse`` with group size > 1 /
+    ``diversified_sampler`` contract): at most ``max_per_group`` hits per
+    value of a document attribute survive into ONE final ranked list —
+    "top 10 turns, but never more than 2 from the same conversation".
+    Generalizes :func:`collapse_topk` (which is ``max_per_group=1``);
+    unlike :func:`bucket_top_hits` the output is a single cross-group
+    ranked list, not a list per bucket.
+
+    ``attrs``: (doc_id, <group_field>) joined against the CANDIDATE set
+    only. Two bounded window sorts (the per-(query, group) keep-N and the
+    final top-k), no global sort. Scores round before BOTH ranks so any
+    oracle replays the group pruning and the final order exactly."""
+    s = (
+        scores.withColumn("score", F.round("score", round_decimals))
+        .join(attrs, "doc_id")
+    )
+    wg = Window.partitionBy("query_id", group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    kept = (
+        s.withColumn("_gr", F.row_number().over(wg))
+        .filter(F.col("_gr") <= max_per_group)
+        .select("query_id", "doc_id", "score", group_field)
+    )
+    return ranked(kept, k)
+
+
 def bucket_top_hits(
     scores: DataFrame,
     attrs: DataFrame,

@@ -622,6 +622,75 @@ def q_conv_cardinality(spark, sf_dir):
     return attr_cardinality(_queries_df(spark), seg, attrs, "conv")
 
 
+def q_histogram_pipeline(spark, sf_dir):
+    """Pipeline aggregations (ES ``cumulative_sum``/``derivative``/
+    ``moving_avg``) over the date_histogram: per (query, day) the hit
+    count plus its running total, day-over-day delta (first day deltas
+    from 0), and trailing 3-day moving average. Post-aggregation math on
+    the (queries x buckets)-sized frame — one window, never corpus-sized."""
+    from ivfadc_spark.operators.query import date_histogram, histogram_pipeline
+
+    seg = _get_segment(spark, sf_dir, _ENGINE_CFG)
+    docs = _read(spark, sf_dir, "documents")
+    ts_attrs = docs.select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id*37,0)"
+        ).alias("ts"),
+    )
+    hist = date_histogram(_queries_df(spark), seg, ts_attrs, granularity="day")
+    res = histogram_pipeline(hist, mavg_window=3)
+    return res.select(
+        "query_id", F.col("bucket").cast("string").alias("bucket"),
+        "n_docs", "cum_docs", "deriv", "mavg",
+    )
+
+
+def q_bm25_diversified(spark, sf_dir):
+    """Diversified retrieval (ES collapse with group size > 1): top-10 per
+    query with AT MOST TWO hits per conversation (conv = doc_id // 8) in
+    one cross-group ranked list — collapse_topk generalized; both the
+    per-group keep-2 and the final order rank on the rounded score with
+    doc_id tiebreak so the oracle replays them exactly."""
+    from ivfadc_spark.operators.query import bm25_scores, query_terms
+    from ivfadc_spark.operators.scoring import diversify_topk
+
+    _, tf, dl, cs, d = _bm25_inputs(spark, sf_dir)
+    qt = query_terms(_queries_df(spark))
+    scores = bm25_scores(qt, tf, d, dl, cs["avgdl"])
+    docs = _read(spark, sf_dir, "documents")
+    attrs = docs.select("doc_id", (F.col("doc_id") / 8).cast("long").alias("conv"))
+    return diversify_topk(scores, attrs, "conv", max_per_group=2, k=10)
+
+
+# single-term queries with a position window: common terms, a rarer one,
+# and an OOV token (no rows)
+SPANFIRST_QUERYSET = [
+    (0, "table"),
+    (1, "scan"),
+    (2, "window"),
+    (3, "customer"),
+    (4, "zzznope"),
+]
+_SPANFIRST_END = 4
+
+
+def q_span_first(spark, sf_dir):
+    """Position-bounded term search (Lucene SpanFirstQuery): docs where the
+    query term occurs within the first _SPANFIRST_END tokens, ranked by
+    first qualifying position (earlier mention wins), doc_id tiebreak;
+    n_occ_within counts occurrences inside the window. Same pruned
+    positions probe as phrase/proximity search."""
+    from ivfadc_spark.operators.positions import span_first_topk
+
+    seg = _get_segment(spark, sf_dir, _POS_CFG, tag="fusedpos")
+    sq = spark.createDataFrame(
+        pd.DataFrame(SPANFIRST_QUERYSET, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    return span_first_topk(sq, seg, end=_SPANFIRST_END, k=10)
+
+
 # unified parser queries: every clause form the grammar supports, mixed
 # (+must / -not, prefix, fuzzy, regex, 2-term phrases — the SQL replay
 # handles 2-term phrases; longer phrases are pytest-covered)
@@ -2045,6 +2114,56 @@ def q_knn_ivf(spark, sf_dir):
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
     )  # assignment is unique (r==1), so no (query, cand) pair can duplicate
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "cand_id", "cosine")
+    )
+
+
+_KNN_FILTER_LABEL = 1
+
+
+def q_knn_ivf_filtered(spark, sf_dir):
+    """Filtered vector search (the modern ANN-with-metadata-filter surface:
+    ES/OpenSearch kNN ``filter``, Qdrant/Milvus payload filters): the same
+    IVF probe as knn_ivf_probe but candidates must satisfy an attribute
+    predicate (label = _KNN_FILTER_LABEL) — PRE-filter semantics: the
+    filter restricts the inverted lists before scoring, so the top-k is
+    exactly the best k MATCHING vectors (never fewer than k because
+    non-matching neighbors crowded them out, the post-filter failure
+    mode). The coarse assignment covers ALL vectors (the index is built
+    once); the label predicate prunes the candidate scan — at 100 TB the
+    codes live cell-partitioned with label as a row-group column, so the
+    filter pushes down to the parquet scan of only the probed cells."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+    cent = e.filter(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("b")
+    )
+    sim = e.select("vec_id", "v", "label", F.col("v").alias("a")).crossJoin(
+        F.broadcast(cent)
+    ).withColumn("cos_c", _cosine_cols())
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    ranked = sim.withColumn("r", F.row_number().over(w_assign))
+    # pre-filter: only matching vectors enter the candidate lists
+    cand = ranked.filter(
+        (F.col("r") == 1) & (F.col("label") == _KNN_FILTER_LABEL)
+    ).select(F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "cell")
+    probes = (
+        ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("a"), "cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -3680,6 +3799,105 @@ FROM m GROUP BY 1, 2
 """
 
 
+# pipeline aggs over the date_histogram: same matching-set CTE, then one
+# window per query in bucket order (running sum, lag-delta from 0, trailing
+# 3-bucket average) — integer sums + one rounded division, bit-replayable
+ORACLES["histogram_pipeline"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+m AS (SELECT DISTINCT qt.query_id, tok.doc_id FROM qt JOIN tok USING(term)),
+h AS (SELECT query_id,
+             date_trunc('day', TIMESTAMP '2024-01-01 00:00:00'
+                        + (doc_id * 37) * INTERVAL 1 MINUTE) AS bucket,
+             count(*) AS n_docs
+      FROM m GROUP BY 1, 2)
+SELECT query_id::BIGINT AS query_id, bucket::TIMESTAMP::VARCHAR AS bucket,
+       n_docs::BIGINT AS n_docs,
+       sum(n_docs) OVER (PARTITION BY query_id ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_docs,
+       (n_docs - coalesce(lag(n_docs) OVER (PARTITION BY query_id
+                                            ORDER BY bucket), 0))::BIGINT AS deriv,
+       round(avg(n_docs) OVER (PARTITION BY query_id ORDER BY bucket
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM h
+"""
+
+# diversified top-k: collapse generalized to keep-2 per conversation
+ORACLES["bm25_diversified"] = f"""
+WITH queries(query_id, text) AS (VALUES {_values_sql()}),
+{_BM25_CTES},
+qt AS (SELECT query_id, unnest(list_distinct({_TOK})) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln((stats.n - dict.df + 0.5)/(dict.df + 0.5) + 1.0)
+              * tf.tf*({K1}+1)/(tf.tf + {K1}*(1 - {B} + {B}*dl.dl/stats.avgdl)) ), 6) AS score
+  FROM qt JOIN dict USING(term) JOIN tf USING(term) JOIN dl USING(doc_id), stats
+  GROUP BY 1, 2),
+kept AS (SELECT query_id, doc_id, score, doc_id // 8 AS conv,
+                row_number() OVER (PARTITION BY query_id, doc_id // 8
+                                   ORDER BY score DESC, doc_id) AS gr
+         FROM scored),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank, doc_id, score, conv
+           FROM kept WHERE gr <= 2)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, score, conv::BIGINT AS conv
+FROM ranked WHERE rank <= 10
+"""
+
+# SpanFirstQuery replay: token positions from generate_subscripts; a doc
+# matches when the term occurs at pos < end; rank by first position asc
+_SPANFIRST_VALUES = ", ".join(f"({i}, '{t}')" for i, t in SPANFIRST_QUERYSET)
+ORACLES["span_first"] = f"""
+WITH queries(query_id, text) AS (VALUES {_SPANFIRST_VALUES}),
+qre AS (SELECT query_id, toks[1] AS t
+        FROM (SELECT query_id, {_TOK} AS toks FROM queries)),
+dtok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos FROM dtok),
+m AS (SELECT q.query_id, p.doc_id, min(p.pos) AS first_pos,
+             count(*) AS n_occ_within
+      FROM qre q JOIN p ON p.tok = q.t
+      WHERE p.pos < {_SPANFIRST_END} GROUP BY 1, 2),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY first_pos, doc_id) AS rank,
+                  doc_id, first_pos, n_occ_within FROM m)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, first_pos::BIGINT AS first_pos,
+       n_occ_within::BIGINT AS n_occ_within
+FROM ranked WHERE rank <= 10
+"""
+
+# filtered kNN: knn_ivf_probe with the candidate lists restricted to
+# label-matching vectors BEFORE scoring (pre-filter semantics)
+ORACLES["knn_ivf_filtered"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS b FROM e WHERE vec_id < {_IVF_NCENTROIDS}),
+sim AS (
+  SELECT e.vec_id, e.v, e.label, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, cent.b) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.b, cent.b)))
+           DESC, cent.cell) AS r
+  FROM e, cent
+),
+assigned AS (SELECT vec_id AS cand_id, v AS b, cell FROM sim
+             WHERE r = 1 AND label = {_KNN_FILTER_LABEL}),
+probes AS (SELECT vec_id AS query_id, v AS a, cell FROM sim
+           WHERE r <= {_IVF_NPROBE} AND vec_id % 100 = 7),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS cosine
+  FROM probes JOIN assigned USING(cell) WHERE query_id <> cand_id
+)
+SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "fulltext_tf": q_tf,
     "fulltext_dictionary": q_dictionary,
@@ -3769,4 +3987,8 @@ QUERIES = {
     "term_vectors": q_term_vectors,
     "date_histogram": q_date_histogram,
     "conv_cardinality": q_conv_cardinality,
+    "histogram_pipeline": q_histogram_pipeline,
+    "bm25_diversified": q_bm25_diversified,
+    "span_first": q_span_first,
+    "knn_ivf_filtered": q_knn_ivf_filtered,
 }

@@ -746,3 +746,60 @@ def test_near_unordered_matches_bruteforce_and_supersets_ordered(spark, tmp_path
     omap = {(r.query_id, r.doc_id): r.n_occ for r in o.itertuples()}
     assert set(omap) <= set(want)
     assert all(omap[k] <= want[k] for k in omap)
+
+
+def test_span_first_matches_bruteforce(spark, tmp_path):
+    """span_first_topk == a per-doc position scan: first qualifying
+    position and in-window occurrence count, ranked first_pos asc."""
+    import re
+
+    from ivfadc_spark.operators.positions import build_positions, span_first_topk
+
+    tx = synth_transcripts(spark, n_conversations=30)
+    seg = build_index(spark, tx, str(tmp_path / "sf"), cfg=CFG)
+    build_positions(spark, tx, seg.path, CFG)
+    end = 3
+    queries = [(0, "headterm"), (1, "term000"), (2, "zzznope")]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "text"]),
+        schema="query_id long, text string",
+    )
+    got = (
+        span_first_topk(qdf, seg, end=end, k=100)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+
+    pat = re.compile(r"[^a-z0-9]+")
+    texts = tx.orderBy("conv_id", "turn_idx").toPandas()["text"].tolist()
+    rows = []
+    for qid, term in queries:
+        for d, s in enumerate(texts):
+            toks = [t for t in pat.split(s.lower()) if t]
+            P = [i for i, t in enumerate(toks) if t == term and i < end]
+            if P:
+                rows.append((qid, d, P[0], len(P)))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "doc_id", "first_pos", "n_occ_within"]
+    )
+    want["rank"] = (
+        want.sort_values(["query_id", "first_pos", "doc_id"])
+        .groupby("query_id")
+        .cumcount()
+        + 1
+    )
+    want = (
+        want[want["rank"] <= 100]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)[
+            ["query_id", "rank", "doc_id", "first_pos", "n_occ_within"]
+        ]
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "first_pos", "n_occ_within"]]
+        .reset_index(drop=True),
+        want,
+        check_dtype=False,
+    )
+    # the OOV query produced nothing
+    assert (got["query_id"] == 2).sum() == 0

@@ -359,3 +359,50 @@ def test_bucket_top_hits_rank1_equals_collapse_winners(spark):
         for r in collapse_topk(_scores(spark, rows), attrs, "g", k=10).collect()
     }
     assert {d for _, d in th} == col
+
+
+def test_diversify_keeps_n_per_group_in_one_list(spark):
+    from ivfadc_spark.operators.scoring import diversify_topk
+
+    # gA holds the 3 best docs; max_per_group=2 admits only its top two,
+    # so gB's doc 4 enters the final list ahead of gA's doc 3
+    rows = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7), (0, 4, 0.1)]
+    attrs = spark.createDataFrame(
+        [(1, "gA"), (2, "gA"), (3, "gA"), (4, "gB")], "doc_id long, g string"
+    )
+    got = diversify_topk(
+        _scores(spark, rows), attrs, "g", max_per_group=2, k=10
+    ).orderBy("rank").collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(1, 1), (2, 2), (3, 4)]
+
+
+def test_diversify_with_one_per_group_equals_collapse(spark):
+    from ivfadc_spark.operators.scoring import collapse_topk, diversify_topk
+
+    rows = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7), (0, 4, 0.1), (1, 2, 0.5)]
+    attrs = spark.createDataFrame(
+        [(1, "gA"), (2, "gA"), (3, "gB"), (4, "gB")], "doc_id long, g string"
+    )
+    s = _scores(spark, rows)
+    div = diversify_topk(s, attrs, "g", max_per_group=1, k=10)
+    col = collapse_topk(s, attrs, "g", k=10)
+    assert sorted(map(tuple, div.collect())) == sorted(map(tuple, col.collect()))
+
+
+def test_histogram_pipeline_arithmetic(spark):
+    from ivfadc_spark.operators.query import histogram_pipeline
+
+    hist = spark.createDataFrame(
+        [(0, 1, 4), (0, 2, 10), (0, 3, 1), (1, 1, 5)],
+        "query_id long, bucket long, n_docs long",
+    )
+    got = {
+        (r.query_id, r.bucket): (r.cum_docs, r.deriv, r.mavg)
+        for r in histogram_pipeline(hist, mavg_window=3).collect()
+    }
+    # cum = running sum; deriv deltas from 0 at the first bucket; mavg
+    # averages the trailing window that EXISTS (1, 2, then 3 buckets)
+    assert got[(0, 1)] == (4, 4, 4.0)
+    assert got[(0, 2)] == (14, 6, 7.0)
+    assert got[(0, 3)] == (15, -9, 5.0)
+    assert got[(1, 1)] == (5, 5, 5.0)
