@@ -139,24 +139,46 @@ def build_index(
     # independent either way (global range order).
     n_parts = cfg.doc_shards if cfg.doc_shards > 0 else None
     with_ids = None
+    dm_fut = dm_pool = dm_obs = None
+    dm_t0 = 0.0
     if not stage("00_doc_map"):
-        t0 = time.time()
+        dm_t0 = time.time()
         with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
         # pure-JVM doc_map write; the row count rides on the write job via
         # an Observation (no second pass). n_docs/avgdl are NOT needed yet:
         # the encoder's block bounds are avgdl-free, and stage 02 recovers
         # the per-doc token counts from the encoder's sentinel rows.
-        obs = Observation("doc_map")
-        (
+        dm_obs = Observation("doc_map")
+        dm_df = (
             with_ids.select("doc_id", "conv_id", "turn_idx", "role", "tool")
-            .observe(obs, F.count(F.lit(1)).alias("rows"))
-            .write.mode("overwrite")
-            .parquet(p_docs)
+            .observe(dm_obs, F.count(F.lit(1)).alias("rows"))
         )
-        rows = int(obs.get["rows"])
-        record("00_doc_map", t0, rows=rows, doc_space=rows)
-    st0 = done["00_doc_map"]
-    doc_space = st0["doc_space"]
+        if not stage("01_blocks") and cfg.doc_shards > 0:
+            # OVERLAP stages 00 and 01: both jobs read the same materialized
+            # doc-id cache and write disjoint outputs, so nothing orders
+            # them. The doc_map write is JVM-bound; the combiner is
+            # python-worker-bound — under FAIR pools (session.py) they share
+            # the same cores productively instead of serializing (the
+            # serialized form bills the upper leg its full wall; small jobs
+            # underfilling a big cluster were the measured worst-scaling
+            # part of the build). Stage 00 is recorded complete only after
+            # its write really finished; a crash mid-overlap records
+            # neither stage and resume redoes both.
+            from concurrent.futures import ThreadPoolExecutor
+
+            sc = spark.sparkContext
+
+            def _write_doc_map():
+                sc.setLocalProperty("spark.scheduler.pool", "build_docmap")
+                dm_df.write.mode("overwrite").parquet(p_docs)
+                return time.time()
+
+            dm_pool = ThreadPoolExecutor(max_workers=1)
+            dm_fut = dm_pool.submit(_write_doc_map)
+        else:
+            dm_df.write.mode("overwrite").parquet(p_docs)
+            rows = int(dm_obs.get["rows"])
+            record("00_doc_map", dm_t0, rows=rows, doc_space=rows)
 
     if not stage("01_blocks"):
         t0 = time.time()
@@ -221,33 +243,53 @@ def build_index(
             d = spark.read.parquet(p_dict)
             salted = salted_tf(tf_cached, None, d, cfg)
             blocks = build_blocks(salted, cfg, dictionary=d)
-        (
-            blocks.withColumn(
-                "term_bucket",
-                # xxhash64(NULL) is the seed hash, not NULL — route the
-                # sentinel rows explicitly
-                F.when(F.col("term").isNull(), F.lit(-1))
-                .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)))
-                .cast("int"),
+        if dm_fut is not None:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build_blocks")
+        try:
+            (
+                blocks.withColumn(
+                    "term_bucket",
+                    # xxhash64(NULL) is the seed hash, not NULL — route the
+                    # sentinel rows explicitly
+                    F.when(F.col("term").isNull(), F.lit(-1))
+                    .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)))
+                    .cast("int"),
+                )
+                # Repartition on term_bucket before the partitioned write:
+                # the write cost is FILE OPERATIONS, not bytes — without it
+                # every encode task opens a writer per bucket (tasks x
+                # buckets ≈ thousands of tiny files; measured 10s at sf0.1
+                # even with raw local FS), while the one cheap shuffle of
+                # the already-encoded blocks (the index is a few % of corpus
+                # bytes) collapses that to one file per bucket (measured
+                # 1.2s — 8x). Earlier rounds profiled this shuffle as a
+                # loss; that was before the byte tokenizer made encode cheap
+                # and checksum sidecars were the hidden constant. Write
+                # parallelism = term_buckets — raise cfg.term_buckets with
+                # cluster size (it also sets scan-prune granularity),
+                # sentinel rows (bucket -1) are span-compressed and tiny.
+                .repartition("term_bucket")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(p_blocks)
             )
-            # Repartition on term_bucket before the partitioned write: the
-            # write cost is FILE OPERATIONS, not bytes — without it every
-            # encode task opens a writer per bucket (tasks x buckets ≈
-            # thousands of tiny files; measured 10s at sf0.1 even with raw
-            # local FS), while the one cheap shuffle of the already-encoded
-            # blocks (the index is a few % of corpus bytes) collapses that
-            # to one file per bucket (measured 1.2s — 8x). Earlier rounds
-            # profiled this shuffle as a loss; that was before the byte
-            # tokenizer made encode cheap and checksum sidecars were the
-            # hidden constant. Write parallelism = term_buckets — raise
-            # cfg.term_buckets with cluster size (it also sets scan-prune
-            # granularity), sentinel rows (bucket -1) are span-compressed
-            # and tiny.
-            .repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(p_blocks)
-        )
+        finally:
+            if dm_fut is not None:
+                # join the overlapped doc_map write whether or not the blocks
+                # write succeeded (never leave a job running past an error)
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+                t_dm = dm_fut.result()
+                dm_pool.shutdown()
+        if dm_fut is not None:
+            # record stage 00 FIRST so the manifest never claims 01 without
+            # 00 (its wall is the real span of the write, not the overlap
+            # window)
+            rows = int(dm_obs.get["rows"])
+            record(
+                "00_doc_map", dm_t0, rows=rows, doc_space=rows,
+                wall_s=round(t_dm - dm_t0, 3), overlapped=True,
+            )
+            dm_fut = None
         if tf_cached is not None:
             tf_cached.unpersist()
         else:
@@ -262,6 +304,7 @@ def build_index(
         record("01_blocks", t0, **extra)
     if with_ids is not None:
         release_doc_ids(with_ids)
+    doc_space = done["00_doc_map"]["doc_space"]
 
     if not stage("02_dict"):
         t0 = time.time()
@@ -310,21 +353,34 @@ def build_index(
             from concurrent.futures import ThreadPoolExecutor
 
             metrics_cached = metrics_out.persist()
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                lens_fut = pool.submit(
-                    lambda: lens_out.write.mode("overwrite").parquet(
-                        os.path.join(p_seg, "doc_lens")
-                    )
+
+            def _write_lens():
+                # own FAIR pool (session.py): the python-decode lane really
+                # runs beside the JVM metrics/dict lane instead of queueing
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "build_doclens"
                 )
+                lens_out.write.mode("overwrite").parquet(
+                    os.path.join(p_seg, "doc_lens")
+                )
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                lens_fut = pool.submit(_write_lens)
                 # metrics write materializes the per-term agg cache; the
                 # dictionary then derives from the CACHE (no parquet
                 # read-back) and overlaps the doc_lens job above — stage 02
                 # is two concurrent lanes instead of three serialized jobs
-                metrics_cached.write.mode("overwrite").parquet(p_metrics)
-                if have_stats:
-                    S.dictionary_from_metrics(
-                        metrics_cached.select("term", "postings", "cf"), n_docs
-                    ).write.mode("overwrite").parquet(p_dict)
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "build_dict"
+                )
+                try:
+                    metrics_cached.write.mode("overwrite").parquet(p_metrics)
+                    if have_stats:
+                        S.dictionary_from_metrics(
+                            metrics_cached.select("term", "postings", "cf"), n_docs
+                        ).write.mode("overwrite").parquet(p_dict)
+                finally:
+                    spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
                 lens_fut.result()
             obs_n = int(obs.get["n_docs"] or 0)
             obs_avg = (float(obs.get["tokens"]) / obs_n) if obs_n else 0.0

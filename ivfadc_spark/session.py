@@ -132,6 +132,15 @@ def get_spark(
         # hosts (often 50% RAM or less) would hit no-space/OOM where plain
         # disk degrades gracefully.
         .config("spark.local.dir", _default_local_dir())
+        # FAIR across scheduler pools: the build overlaps independent jobs
+        # (stage-00 doc_map write alongside the stage-01 combiner; stage-02's
+        # doc_lens + dictionary lanes) from separate threads, each tagged
+        # with its own pool. Under the default FIFO mode the first job's
+        # tasks hold every slot and the "concurrent" job only fills tail
+        # gaps; FAIR splits slots between pools so a JVM-bound write really
+        # does run under a python-worker-bound job. Single-job workloads are
+        # unaffected (one pool behaves as FIFO).
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in alloc_env.items():
         builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
