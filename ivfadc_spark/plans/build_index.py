@@ -141,9 +141,19 @@ def build_index(
     with_ids = None
     dm_fut = dm_pool = dm_obs = None
     dm_t0 = 0.0
+    # the build touches every transcript column EXCEPT ts — dropping it here
+    # keeps its bytes out of the id-assign shuffle and the materialized cache
+    # (the serial head of the build)
+    tx_cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool") if c in transcripts.columns]
+    transcripts = transcripts.select(*tx_cols)
     if not stage("00_doc_map"):
         dm_t0 = time.time()
         with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
+        # serial head of the whole build: id-assign shuffle + sort + cache
+        # materialization, before either overlapped job can launch — recorded
+        # so scaling runs attribute wall-time to it (it is the worst-scaling
+        # span of the build, see BENCH/NARRATIVE.md)
+        assign_s = round(time.time() - dm_t0, 3)
         # pure-JVM doc_map write; the row count rides on the write job via
         # an Observation (no second pass). n_docs/avgdl are NOT needed yet:
         # the encoder's block bounds are avgdl-free, and stage 02 recovers
@@ -178,7 +188,7 @@ def build_index(
         else:
             dm_df.write.mode("overwrite").parquet(p_docs)
             rows = int(dm_obs.get["rows"])
-            record("00_doc_map", dm_t0, rows=rows, doc_space=rows)
+            record("00_doc_map", dm_t0, rows=rows, doc_space=rows, assign_s=assign_s)
 
     if not stage("01_blocks"):
         t0 = time.time()
@@ -287,7 +297,7 @@ def build_index(
             rows = int(dm_obs.get["rows"])
             record(
                 "00_doc_map", dm_t0, rows=rows, doc_space=rows,
-                wall_s=round(t_dm - dm_t0, 3), overlapped=True,
+                wall_s=round(t_dm - dm_t0, 3), overlapped=True, assign_s=assign_s,
             )
             dm_fut = None
         if tf_cached is not None:

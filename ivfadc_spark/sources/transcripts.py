@@ -152,16 +152,61 @@ def transcripts_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _tokens_for_partitions(spark: SparkSession, n: int) -> list[int]:
+    """Small ints ``t_p`` with ``pmod(murmur3(t_p), n) == p`` for every
+    partition ``p`` — lets ``repartition(n, lit_token)`` place a row on an
+    EXACT partition (hash partitioning is the only repartition the DataFrame
+    API exposes; choosing the hashed value instead of the partitioner gives
+    back deterministic placement). Found once per ``n`` with one tiny job
+    over ``spark.range`` so the hash is literally the engine's own
+    (Murmur3, seed 42), never a re-implementation that could drift."""
+    got = _TOKEN_CACHE.get(n)
+    if got is not None:
+        return got
+    toks: dict[int, int] = {}
+    width = max(8 * n, 64)
+    while len(toks) < n:
+        rows = (
+            spark.range(0, width)
+            .select(
+                F.col("id").cast("int").alias("tok"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+            )
+            .collect()
+        )
+        for r in rows:
+            toks.setdefault(int(r["p"]), int(r["tok"]))
+        width *= 4
+    out = [toks[p] for p in range(n)]
+    _TOKEN_CACHE[n] = out
+    return out
+
+
+_TOKEN_CACHE: dict[int, list[int]] = {}
+
+
 def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Dense 0-based doc_id over stable ``(conv_id, turn_idx)`` order — scalably.
 
     A naive ``row_number() OVER (ORDER BY ...)`` is a single-partition sort:
     a non-starter at 10^12 turns. Instead (classic distributed dense-rank):
 
-    1. range-repartition + sort within partitions on the key,
+    1. range-partition + sort within partitions on the key,
     2. count rows per partition (tiny driver-side collect, one row per
        partition — NOT per row),
     3. doc_id = prefix-sum offset of the partition + local row_number.
+
+    The range partitioning is hand-rolled rather than ``repartitionByRange``:
+    Spark's range exchange runs a SAMPLING JOB that evaluates the full child
+    plan (every column, text included — a whole extra corpus decode billed to
+    the build's serial head, measured ~20% of stage-00 wall). Here the
+    boundaries come from a seeded sample of the two pruned KEY columns only,
+    bucket assignment is a codegen'd comparison chain, and bucket->partition
+    placement goes through :func:`_tokens_for_partitions` so partition ``p``
+    holds exactly the ``p``-th key range. doc_id stays the exact global key
+    rank — boundary choice moves only partition SIZES, never ids, so the
+    assignment remains independent of partition count and layout (the
+    property positions.py and segment resume rely on).
 
     The result depends only on the data (key order), not on load order —
     unlike the reference's load-order positional IDs
@@ -169,15 +214,43 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     """
     from pyspark import StorageLevel
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    if n > 1:
+        # pruned-column boundary sample: reads conv_id/turn_idx only
+        kp = df.select("conv_id", "turn_idx").sample(False, 0.01, seed=42).toPandas()
+        sampled = list(zip(kp["conv_id"].tolist(), kp["turn_idx"].tolist()))
+        if len(sampled) < 20 * n:
+            # tiny input (test-scale): exact keys, still pruned
+            kp = df.select("conv_id", "turn_idx").toPandas()
+            sampled = list(zip(kp["conv_id"].tolist(), kp["turn_idx"].tolist()))
+        sampled.sort(key=lambda kv: (kv[0], kv[1] if kv[1] is not None else -1))
+        bounds = []
+        if sampled:
+            for i in range(1, n):
+                bounds.append(sampled[min(i * len(sampled) // n, len(sampled) - 1)])
+        # bucket = #boundaries <= key (sum of codegen'd indicators); ties on
+        # a repeated boundary value collapse into the last bucket of the run
+        # (consistent rule; empty buckets just contribute zero to offsets)
+        bucket = F.lit(0)
+        for bc, bt in bounds:
+            ge = (F.col("conv_id") > F.lit(bc)) | (
+                (F.col("conv_id") == F.lit(bc))
+                & (F.coalesce(F.col("turn_idx"), F.lit(-(2**31))) >= F.lit(int(bt if bt is not None else -(2**31))))
+            )
+            bucket = bucket + ge.cast("int")
+        toks = _tokens_for_partitions(spark, n)
+        token = F.element_at(F.array(*[F.lit(t) for t in toks]), bucket + 1)
+        shaped = df.withColumn("_tok", token).repartition(n, "_tok").drop("_tok")
+    else:
+        shaped = df.coalesce(1)
     # DISK_ONLY, not the MEMORY_AND_DISK default: the cache is read exactly
     # once more (the write pass) and spark.local.dir is tmpfs, so "disk" is
     # RAM-speed serialized storage — while a deserialized in-heap cache of
     # millions of row objects turns the whole downstream build into a GC
     # storm on a large driver heap.
     parted = (
-        df.repartitionByRange(n, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
+        shaped.sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.DISK_ONLY)
     )

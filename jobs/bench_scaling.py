@@ -127,6 +127,7 @@ def main() -> None:
         "qps": round(args.queries / query_s, 1),
         "result_rows": len(rows),
         "stages": {k: v.get("wall_s") for k, v in manifest["stages"].items()},
+        "assign_s": manifest["stages"].get("00_doc_map", {}).get("assign_s"),
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:

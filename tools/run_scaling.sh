@@ -69,7 +69,12 @@ run() {
     --queries "$QUERIES" --out "BENCH/run_n${ncores}_t${t}.json" 2>"/tmp/scaling_leg_n${ncores}_t${t}.err" | tail -1
 }
 
-for t in $(seq 1 "$TRIALS"); do
+# SCALING_TRIAL_START lets a later window append trials t5, t6, ... to an
+# existing set without re-running (or overwriting) the earlier ones — the
+# per-metric-best estimator only sharpens with more interleaved samples.
+TRIAL_START="${SCALING_TRIAL_START:-1}"
+
+for t in $(seq "$TRIAL_START" "$TRIALS"); do
   echo "== trial $t ${MODE} $N1 cores" && run "$N1_EXECS" "$t"
   echo "== trial $t ${MODE} $N2 cores" && run "$N2_EXECS" "$t"
 done
