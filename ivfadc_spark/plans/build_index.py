@@ -52,7 +52,7 @@ from ivfadc_spark.operators.postings import (
     salted_tf,
 )
 from ivfadc_spark.operators.segments import Segment
-from ivfadc_spark.sources.transcripts import assign_doc_ids, release_doc_ids
+from ivfadc_spark.sources.transcripts import assign_doc_ids, plan_doc_ids, release_doc_ids
 
 LAYOUT_VERSION = 3  # 3: doc_map carries the input's role/tool attributes
 
@@ -146,16 +146,32 @@ def build_index(
     # (the serial head of the build)
     tx_cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool") if c in transcripts.columns]
     transcripts = transcripts.select(*tx_cols)
+    id_rows = None
+    head_timings: dict = {}
     if not stage("00_doc_map"):
         dm_t0 = time.time()
-        with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
-        # serial head of the whole build: id-assign shuffle + sort + cache
-        # materialization, before either overlapped job can launch — recorded
-        # so scaling runs attribute wall-time to it (it is the worst-scaling
-        # span of the build, see BENCH/NARRATIVE.md)
+        if cfg.doc_shards > 0:
+            # CACHELESS id assignment: boundaries + exact per-bucket counts
+            # come from two cheap key-only jobs, so the expensive full-row
+            # shuffle is never materialized into a cache — each downstream
+            # job consumes its own COLUMN-PRUNED execution of this lazy
+            # frame (doc_map: meta columns; blocks: keys + text). Profiling
+            # showed the cache materialization was the single worst-scaling
+            # span of the build (a serial head before any overlapped job
+            # could start, BENCH/NARRATIVE.md); these pruned jobs are ~5%
+            # of its wall.
+            with_ids, id_counts = plan_doc_ids(transcripts, n_parts)
+            id_rows = sum(id_counts)
+            head_timings = getattr(with_ids, "_ivfadc_timings", {})
+        else:
+            with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
+        # serial head of the build: sample + count jobs (cacheless path) or
+        # the id-assign shuffle+sort+cache materialization (legacy path) —
+        # recorded so scaling runs attribute wall-time to it
         assign_s = round(time.time() - dm_t0, 3)
-        # pure-JVM doc_map write; the row count rides on the write job via
-        # an Observation (no second pass). n_docs/avgdl are NOT needed yet:
+        # the row count rides on the write job via an Observation (no second
+        # pass); on the cacheless path it cross-checks the pruned bucket
+        # counts the ids were derived from. n_docs/avgdl are NOT needed yet:
         # the encoder's block bounds are avgdl-free, and stage 02 recovers
         # the per-doc token counts from the encoder's sentinel rows.
         dm_obs = Observation("doc_map")
@@ -164,16 +180,15 @@ def build_index(
             .observe(dm_obs, F.count(F.lit(1)).alias("rows"))
         )
         if not stage("01_blocks") and cfg.doc_shards > 0:
-            # OVERLAP stages 00 and 01: both jobs read the same materialized
-            # doc-id cache and write disjoint outputs, so nothing orders
-            # them. The doc_map write is JVM-bound; the combiner is
-            # python-worker-bound — under FAIR pools (session.py) they share
-            # the same cores productively instead of serializing (the
-            # serialized form bills the upper leg its full wall; small jobs
-            # underfilling a big cluster were the measured worst-scaling
-            # part of the build). Stage 00 is recorded complete only after
-            # its write really finished; a crash mid-overlap records
-            # neither stage and resume redoes both.
+            # OVERLAP stages 00 and 01: the two jobs run pruned executions
+            # of the same lazy id frame and write disjoint outputs, so
+            # nothing orders them. The doc_map write is JVM-bound (meta
+            # columns only — its shuffle never carries text); the combiner
+            # is python-worker-bound — under FAIR pools (session.py) they
+            # share the same cores productively instead of serializing.
+            # Stage 00 is recorded complete only after its write really
+            # finished; a crash mid-overlap records neither stage and
+            # resume redoes both.
             from concurrent.futures import ThreadPoolExecutor
 
             sc = spark.sparkContext
@@ -188,7 +203,14 @@ def build_index(
         else:
             dm_df.write.mode("overwrite").parquet(p_docs)
             rows = int(dm_obs.get["rows"])
-            record("00_doc_map", dm_t0, rows=rows, doc_space=rows, assign_s=assign_s)
+            if id_rows is not None and rows != id_rows:
+                raise RuntimeError(
+                    f"doc_map wrote {rows} rows but bucket counts said {id_rows}"
+                )
+            record(
+                "00_doc_map", dm_t0, rows=rows, doc_space=rows,
+                assign_s=assign_s, **head_timings,
+            )
 
     if not stage("01_blocks"):
         t0 = time.time()
@@ -196,7 +218,10 @@ def build_index(
             # resuming past a completed 00 in a fresh session: re-derive ids
             # and PROVE the recompute reproduces the checkpointed doc_map
             # (duplicate keys or a changed input layout could permute ties)
-            with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
+            if cfg.doc_shards > 0:
+                with_ids, _ = plan_doc_ids(transcripts, n_parts)
+            else:
+                with_ids = assign_doc_ids(transcripts, num_partitions=n_parts)
             got = _doc_map_fingerprint(with_ids.select("doc_id", "conv_id", "turn_idx"))
             want = _doc_map_fingerprint(
                 spark.read.parquet(p_docs).select("doc_id", "conv_id", "turn_idx")
@@ -216,7 +241,7 @@ def build_index(
             # term_bucket layout repartition below. Sentinel rows land in
             # the term_bucket=-1 partition.
             docs = with_ids.select("doc_id", "text")
-            n_shards = int(docs.rdd.getNumPartitions())
+            n_shards = int(n_parts)
             blocks = build_blocks_inplace(docs, cfg)
             # corpus stats ride the write: sentinel rows carry the chunk's
             # positive-doc count (max_tf) and token total (sum_tf) as plain
@@ -295,9 +320,14 @@ def build_index(
             # 00 (its wall is the real span of the write, not the overlap
             # window)
             rows = int(dm_obs.get["rows"])
+            if id_rows is not None and rows != id_rows:
+                raise RuntimeError(
+                    f"doc_map wrote {rows} rows but bucket counts said {id_rows}"
+                )
             record(
                 "00_doc_map", dm_t0, rows=rows, doc_space=rows,
                 wall_s=round(t_dm - dm_t0, 3), overlapped=True, assign_s=assign_s,
+                **head_timings,
             )
             dm_fut = None
         if tf_cached is not None:

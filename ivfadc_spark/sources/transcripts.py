@@ -185,6 +185,121 @@ def _tokens_for_partitions(spark: SparkSession, n: int) -> list[int]:
 _TOKEN_CACHE: dict[int, list[int]] = {}
 
 
+def _range_bounds(df: DataFrame, n: int) -> list[tuple]:
+    """Driver-side range boundaries for ``n`` partitions from a seeded sample
+    of the two pruned KEY columns (never the full row — Spark's own range
+    exchange samples the entire child plan, text included)."""
+    kp = df.select("conv_id", "turn_idx").sample(False, 0.01, seed=42).toPandas()
+    sampled = list(zip(kp["conv_id"].tolist(), kp["turn_idx"].tolist()))
+    if len(sampled) < 20 * n:
+        # tiny input (test-scale): exact keys, still pruned
+        kp = df.select("conv_id", "turn_idx").toPandas()
+        sampled = list(zip(kp["conv_id"].tolist(), kp["turn_idx"].tolist()))
+    sampled.sort(key=lambda kv: (kv[0], kv[1] if kv[1] is not None else -1))
+    if not sampled:
+        return []
+    return [sampled[min(i * len(sampled) // n, len(sampled) - 1)] for i in range(1, n)]
+
+
+def _bucket_expr(bounds: list[tuple], leaves: list[int] | None = None):
+    """searchsorted((conv_id, turn_idx)) over the sorted boundaries as a
+    BINARY ``when`` tree: each row evaluates only its log2(n) path of string
+    comparisons, not all n-1 (a linear indicator chain measured 12.5s for the
+    pruned count job at 16.6M rows; the tree is ~0.5s). ``leaves[b]`` is the
+    literal the b-th bucket evaluates to — the bucket ordinal for the count
+    job, the partition-placement token for the shuffle key — so both jobs
+    share one expression shape and stay bucket-consistent by construction.
+    Ties on a repeated boundary value take the searchsorted-right rule; empty
+    buckets just contribute zero to offsets."""
+    n = len(bounds) + 1
+    vals = leaves if leaves is not None else list(range(n))
+
+    def ge(b):
+        bc, bt = b
+        return (F.col("conv_id") > F.lit(bc)) | (
+            (F.col("conv_id") == F.lit(bc))
+            & (
+                F.coalesce(F.col("turn_idx"), F.lit(-(2**31)))
+                >= F.lit(int(bt if bt is not None else -(2**31)))
+            )
+        )
+
+    def build(lo, hi):
+        if hi - lo == 1:
+            return F.lit(int(vals[lo]))
+        mid = (lo + hi) // 2
+        return F.when(ge(bounds[mid - 1]), build(mid, hi)).otherwise(build(lo, mid))
+
+    return build(0, n)
+
+
+def plan_doc_ids(df: DataFrame, num_partitions: int) -> tuple[DataFrame, list[int]]:
+    """CACHELESS doc_id assignment: ``(with_ids, per-bucket counts)``.
+
+    Same id semantics as :func:`assign_doc_ids` (dense global
+    ``(conv_id, turn_idx)`` rank), but the prefix-sum offsets come from an
+    EXACT pruned-column count per range bucket — two cheap key-only jobs —
+    instead of materializing a full-row cache and counting it. The returned
+    frame is lazy and UNPERSISTED: every consumer pays one shuffle+sort of
+    exactly the columns IT selects (column pruning pushes through the
+    exchange), which lets the index build run its doc_map job (meta columns)
+    and its blocks job (keys + text) as two concurrently-scheduled pruned
+    pipelines with no serial cache-materialization span at all — the span
+    that profiling showed was the worst-scaling part of the whole build
+    (BENCH/NARRATIVE.md). Determinism: partition content is fixed by the
+    boundaries (seeded sample), row order inside a partition is fixed by the
+    sort over the unique key, so every execution of the frame computes
+    identical ids.
+    """
+    import time as _time
+
+    _t0 = _time.time()
+    n = int(num_partitions)
+    spark = df.sparkSession
+    timings = {}
+    if n <= 1:
+        shaped = df.coalesce(1)
+        counts = [df.count()]
+        bounds: list[tuple] = []
+    else:
+        bounds = _range_bounds(df, n)
+        timings["bounds_s"] = round(_time.time() - _t0, 3)
+        _t1 = _time.time()
+        bucket = _bucket_expr(bounds)
+        cnt_rows = (
+            df.select("conv_id", "turn_idx")
+            .groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        timings["counts_s"] = round(_time.time() - _t1, 3)
+        got = {int(r["_b"]): int(r["cnt"]) for r in cnt_rows}
+        counts = [got.get(b, 0) for b in range(n)]
+        toks = _tokens_for_partitions(spark, n)
+        token = _bucket_expr(bounds, leaves=toks)
+        shaped = df.withColumn("_tok", token).repartition(n, "_tok").drop("_tok")
+    offsets, acc = [], 0
+    for c in counts:
+        offsets.append(acc)
+        acc += c
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in enumerate(offsets)], "_pid int, _off long"
+    )
+    out = (
+        shaped.sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "doc_id",
+            (F.col("_off") + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))).cast("long"),
+        )
+        .drop("_pid", "_off", "_mid")
+    )
+    out._ivfadc_timings = timings  # head-phase walls, surfaced in the manifest
+    return out, counts
+
+
 def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Dense 0-based doc_id over stable ``(conv_id, turn_idx)`` order — scalably.
 
@@ -217,30 +332,8 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism * 2
     if n > 1:
-        # pruned-column boundary sample: reads conv_id/turn_idx only
-        kp = df.select("conv_id", "turn_idx").sample(False, 0.01, seed=42).toPandas()
-        sampled = list(zip(kp["conv_id"].tolist(), kp["turn_idx"].tolist()))
-        if len(sampled) < 20 * n:
-            # tiny input (test-scale): exact keys, still pruned
-            kp = df.select("conv_id", "turn_idx").toPandas()
-            sampled = list(zip(kp["conv_id"].tolist(), kp["turn_idx"].tolist()))
-        sampled.sort(key=lambda kv: (kv[0], kv[1] if kv[1] is not None else -1))
-        bounds = []
-        if sampled:
-            for i in range(1, n):
-                bounds.append(sampled[min(i * len(sampled) // n, len(sampled) - 1)])
-        # bucket = #boundaries <= key (sum of codegen'd indicators); ties on
-        # a repeated boundary value collapse into the last bucket of the run
-        # (consistent rule; empty buckets just contribute zero to offsets)
-        bucket = F.lit(0)
-        for bc, bt in bounds:
-            ge = (F.col("conv_id") > F.lit(bc)) | (
-                (F.col("conv_id") == F.lit(bc))
-                & (F.coalesce(F.col("turn_idx"), F.lit(-(2**31))) >= F.lit(int(bt if bt is not None else -(2**31))))
-            )
-            bucket = bucket + ge.cast("int")
         toks = _tokens_for_partitions(spark, n)
-        token = F.element_at(F.array(*[F.lit(t) for t in toks]), bucket + 1)
+        token = _bucket_expr(_range_bounds(df, n), leaves=toks)
         shaped = df.withColumn("_tok", token).repartition(n, "_tok").drop("_tok")
     else:
         shaped = df.coalesce(1)

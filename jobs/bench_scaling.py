@@ -128,6 +128,7 @@ def main() -> None:
         "result_rows": len(rows),
         "stages": {k: v.get("wall_s") for k, v in manifest["stages"].items()},
         "assign_s": manifest["stages"].get("00_doc_map", {}).get("assign_s"),
+        "stage00": manifest["stages"].get("00_doc_map"),
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
