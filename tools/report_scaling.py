@@ -5,6 +5,11 @@ BASELINE.md). Per-metric best across trials: the host has noisy-neighbor
 episodes, so the minimum wall per leg estimates dedicated-hardware behavior.
 
     python tools/report_scaling.py 4 16 3
+    python tools/report_scaling.py 4 16 17 12   # only trials t12..t17
+
+The optional 4th argument scopes the table to a trial window, so a report
+regenerated after a code change reflects ONLY that engine version's trials
+(mixing windows would take per-metric bests across different code).
 """
 
 import json
@@ -14,9 +19,9 @@ import sys
 BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
 
 
-def load(n: int, trials: int) -> list[dict]:
+def load(n: int, trials: int, start: int = 1) -> list[dict]:
     out = []
-    for t in range(1, trials + 1):
+    for t in range(start, trials + 1):
         p = os.path.join(BENCH, f"run_n{n}_t{t}.json")
         if os.path.exists(p):
             with open(p) as f:
@@ -29,7 +34,8 @@ def load(n: int, trials: int) -> list[dict]:
 def main() -> None:
     n1, n2 = int(sys.argv[1]), int(sys.argv[2])
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    r1s, r2s = load(n1, trials), load(n2, trials)
+    start = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    r1s, r2s = load(n1, trials, start), load(n2, trials, start)
     b1 = max(r1s, key=lambda r: r["turns_per_sec"])
     b2 = max(r2s, key=lambda r: r["turns_per_sec"])
     q1 = max(r["qps"] for r in r1s)

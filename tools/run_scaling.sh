@@ -79,4 +79,4 @@ for t in $(seq "$TRIAL_START" "$TRIALS"); do
   echo "== trial $t ${MODE} $N2 cores" && run "$N2_EXECS" "$t"
 done
 
-python tools/report_scaling.py "$N1" "$N2" "$TRIALS"
+python tools/report_scaling.py "$N1" "$N2" "$TRIALS" "$TRIAL_START"
