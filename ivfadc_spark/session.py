@@ -142,6 +142,13 @@ def get_spark(
         # unaffected (one pool behaves as FIFO).
         .config("spark.scheduler.mode", "FAIR")
     )
+    # declared pool weights for the build lanes (build_blocks 3x) — without
+    # the file every pool use logs a FairSchedulableBuilder WARN and
+    # silently gets default weight 1. Only set when the xml is a real file:
+    # under --py-files the package lives in a zip the JVM can't open.
+    _alloc = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml")
+    if os.path.isfile(_alloc):
+        builder = builder.config("spark.scheduler.allocation.file", _alloc)
     for k, v in alloc_env.items():
         builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     builder = (
