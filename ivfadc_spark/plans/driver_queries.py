@@ -3898,7 +3898,58 @@ SELECT query_id, rank::INT AS rank, cand_id, cosine FROM (
 """
 
 
+# Dict ORDER is deliberate (round-4 verdict, "Next round" #3): the driver's
+# correctness harness checks the FIRST 50 entries of this dict. Rounds 1-4
+# always led with the fulltext/bm25 block, so the 42 entries after
+# string_funcs (all PQ/kNN/dedup/clustering/analytics) never got a driver
+# row past r3 — 19 of them never at all (judge-checked only). Round 5
+# rotates: the previously-unchecked 42 come FIRST, then the r4-green 50,
+# so driver evidence accumulates across the whole contract.
 QUERIES = {
+    # --- rotation block: no driver row in r4 (19 of these never had one) ---
+    "sample_systematic": q_sample_systematic,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "exact_dup": q_exact_dup,
+    "minhash_signatures": q_minhash,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_count": q_token_count,
+    "knn_brute_cosine": q_knn_brute,
+    "knn_lsh_bucketed": q_knn_lsh,
+    "fingerprint_rolling": q_fingerprint,
+    "media_features": q_media_features,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_adc": q_embedding_near_dup_adc,
+    "knn_ivf_probe": q_knn_ivf,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "knn_ivf_adc": q_knn_ivf_adc,
+    "knn_ivf_adc_persisted": q_knn_ivf_adc_persisted,
+    "config_source": q_config_source,
+    "multi_segment_batch": q_multi_segment_batch,
+    "kmeans_recompute": q_kmeans_recompute,
+    "kmeans_train": q_kmeans_train,
+    "bm25_topk_stopwords": q_bm25_stopwords,
+    "facet_top_hits": q_facet_top_hits,
+    "complete_prefix": q_complete_prefix,
+    "value_histogram": q_value_histogram,
+    "index_stats": q_index_stats,
+    "bm25_range_filter": q_bm25_range_filter,
+    "bm25_recency_decay": q_bm25_recency_decay,
+    "conv_topk": q_conv_topk,
+    "hit_context": q_hit_context,
+    "bm25_min_should_match": q_bm25_min_should_match,
+    "term_vectors": q_term_vectors,
+    "date_histogram": q_date_histogram,
+    "conv_cardinality": q_conv_cardinality,
+    "histogram_pipeline": q_histogram_pipeline,
+    "bm25_diversified": q_bm25_diversified,
+    "span_first": q_span_first,
+    "knn_ivf_filtered": q_knn_ivf_filtered,
+    # --- r4 driver-green block (8 of these land in this round's first 50) ---
     "fulltext_tf": q_tf,
     "fulltext_dictionary": q_dictionary,
     "fulltext_doc_lengths": q_doc_lengths,
@@ -3949,46 +4000,4 @@ QUERIES = {
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "filter_scan_limit": q_filter_scan_limit,
     "string_funcs": q_string_funcs,
-    "sample_systematic": q_sample_systematic,
-    "events_hourly": q_events_hourly,
-    "sessionize": q_sessionize,
-    "exact_dup": q_exact_dup,
-    "minhash_signatures": q_minhash,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash": q_simhash,
-    "ngram_jaccard": q_ngram_jaccard,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "token_count": q_token_count,
-    "knn_brute_cosine": q_knn_brute,
-    "knn_lsh_bucketed": q_knn_lsh,
-    "fingerprint_rolling": q_fingerprint,
-    "media_features": q_media_features,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_adc": q_embedding_near_dup_adc,
-    "knn_ivf_probe": q_knn_ivf,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    "knn_ivf_adc": q_knn_ivf_adc,
-    "knn_ivf_adc_persisted": q_knn_ivf_adc_persisted,
-    "config_source": q_config_source,
-    "multi_segment_batch": q_multi_segment_batch,
-    "kmeans_recompute": q_kmeans_recompute,
-    "kmeans_train": q_kmeans_train,
-    "bm25_topk_stopwords": q_bm25_stopwords,
-    "facet_top_hits": q_facet_top_hits,
-    "complete_prefix": q_complete_prefix,
-    "value_histogram": q_value_histogram,
-    "index_stats": q_index_stats,
-    "bm25_range_filter": q_bm25_range_filter,
-    "bm25_recency_decay": q_bm25_recency_decay,
-    "conv_topk": q_conv_topk,
-    "hit_context": q_hit_context,
-    "bm25_min_should_match": q_bm25_min_should_match,
-    "term_vectors": q_term_vectors,
-    "date_histogram": q_date_histogram,
-    "conv_cardinality": q_conv_cardinality,
-    "histogram_pipeline": q_histogram_pipeline,
-    "bm25_diversified": q_bm25_diversified,
-    "span_first": q_span_first,
-    "knn_ivf_filtered": q_knn_ivf_filtered,
 }
