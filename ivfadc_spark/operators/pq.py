@@ -90,9 +90,12 @@ def coarse_assign(
     centroids_pdf: pd.DataFrame,
     nprobe: int | None = None,
     impl: str = "arrow",
+    metric: str = "l2",
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """(vec_id, v) -> (vec_id, v, cell, b, r): cells ranked by L2 asc (tie
-    cell asc). r == 1 is the storage assignment; r <= nprobe drives probes.
+    """(vec_id, v, *passthrough) -> (vec_id, v, *passthrough, cell, b, r):
+    cells ranked best-first (L2 asc or cosine desc; ties cell asc). r == 1
+    is the storage assignment; r <= nprobe drives probes.
 
     impl="arrow" (default): the (k x d) coarse codebook ships in the task
     closure and each partition ranks its vectors with one matrix product —
@@ -102,16 +105,29 @@ def coarse_assign(
     crossJoin+window form — that plan exchanges n*k rows through a window
     sort, which at 100x the data IS the encode cost; retained only for
     expression parity with SQL oracles (the clustering.assign_cells
-    pattern, clustering.py:62-130)."""
+    pattern, clustering.py:62-130).
+
+    ``metric="cosine"`` ranks by normalized dot (|v| factors out of the
+    per-row ranking); tie-break parity and the near-tie float caveat are
+    the same as clustering.assign_cells. ``passthrough`` names extra input
+    columns (e.g. a filter label) replicated onto every ranked row — the
+    filtered-kNN entry reads them instead of re-joining the source."""
     if impl == "sql":
         spark = vecs.sparkSession
         cent = spark.createDataFrame(centroids_pdf, schema="cell int, b array<double>")
-        w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cell"))
+        if metric == "cosine":
+            from ivfadc_spark.operators.clustering import _cosine
+
+            w = Window.partitionBy("vec_id").orderBy(F.desc("_d"), F.asc("cell"))
+            scorer = _cosine("v", "b")
+        else:
+            w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cell"))
+            scorer = l2sq("v", "b")
         out = (
             vecs.crossJoin(F.broadcast(cent))
-            .withColumn("_d", l2sq("v", "b"))
+            .withColumn("_d", scorer)
             .withColumn("r", F.row_number().over(w))
-            .select("vec_id", "v", "cell", "b", "r")
+            .select("vec_id", "v", *passthrough, "cell", "b", "r")
         )
         return out.filter(F.col("r") <= nprobe) if nprobe else out
 
@@ -125,8 +141,14 @@ def coarse_assign(
     def kernel(batches):
         import pyarrow as pa
 
-        c2 = (C * C).sum(axis=1)
-        M = C.T
+        if metric == "cosine":
+            # |v| is constant per row: ranking by -v @ (c/|c|) == cosine desc
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0.0] = 1.0
+            M = (C / cn[:, None]).T
+        else:
+            c2 = (C * C).sum(axis=1)
+            M = C.T
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -135,19 +157,18 @@ def coarse_assign(
             # per-row ranking: |v|^2 is constant per row, so ordering by
             # c2 - 2 v.c == ordering by full L2; stable sort -> ties pick
             # the lowest cell id (rows are in cell order)
-            D = c2[None, :] - 2.0 * (V @ M)
+            if metric == "cosine":
+                D = -(V @ M)
+            else:
+                D = c2[None, :] - 2.0 * (V @ M)
             order = np.argsort(D, axis=1, kind="stable")[:, :p]
             n = V.shape[0]
             rep = np.repeat(np.arange(n), p)
             cells = cell_ids[order.ravel()]
-            vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            base = tbl.take(pa.array(rep, type=pa.int64()))
             out = pa.Table.from_arrays(
                 [
-                    pa.array(vid[rep], type=pa.int64()),
-                    pa.ListArray.from_arrays(
-                        pa.array(np.arange(n * p + 1) * V.shape[1], type=pa.int32()),
-                        pa.array(V[rep].ravel(), type=pa.float64()),
-                    ),
+                    *base.columns,
                     pa.array(cells, type=pa.int32()),
                     pa.ListArray.from_arrays(
                         pa.array(np.arange(n * p + 1) * C.shape[1], type=pa.int32()),
@@ -155,13 +176,13 @@ def coarse_assign(
                     ),
                     pa.array(np.tile(np.arange(1, p + 1, dtype=np.int32), n)),
                 ],
-                names=["vec_id", "v", "cell", "b", "r"],
+                names=[*base.column_names, "cell", "b", "r"],
             )
             yield from out.to_batches()
 
-    return vecs.select("vec_id", "v").mapInArrow(
-        kernel, "vec_id long, v array<double>, cell int, b array<double>, r int"
-    )
+    sel = vecs.select("vec_id", "v", *passthrough)
+    in_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in sel.schema.fields)
+    return sel.mapInArrow(kernel, f"{in_ddl}, cell int, b array<double>, r int")
 
 
 def residuals(assigned: DataFrame) -> DataFrame:

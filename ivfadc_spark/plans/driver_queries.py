@@ -1924,12 +1924,7 @@ def q_embedding_near_dup_adc(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    coarse = (
-        e.filter(F.col("vec_id") < _IVF_NCENTROIDS)
-        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("b"))
-        .toPandas()
-    )
-    coarse["b"] = [list(map(float, x)) for x in coarse["b"]]
+    coarse = _coarse_pdf(e)
     ranked = pq.coarse_assign(e, coarse, nprobe=1)
     res = pq.residuals(ranked.filter(F.col("r") == 1))
     books = pq.train_pq(res, _PQ_DIM, _PQ_NSQ, _PQ_KS, _PQ_ITERS)
@@ -1985,31 +1980,37 @@ def q_embedding_near_dup_adc(spark, sf_dir):
     )
 
 
+def _coarse_pdf(e, with_label: bool = False):
+    """Deterministic seed codebook (vectors vec_id < _IVF_NCENTROIDS) as a
+    driver pandas frame — k x d, the closure payload of the arrow kernels."""
+    pdf = (
+        e.filter(F.col("vec_id") < _IVF_NCENTROIDS)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("b"))
+        .toPandas()
+    )
+    pdf["b"] = [list(map(float, x)) for x in pdf["b"]]
+    return pdf
+
+
 def q_kmeans_recompute(spark, sf_dir):
     """A1: one Lloyd iteration — assign every embedding to its nearest seed
-    centroid (J2 theta-join: broadcast codebook + argmax), then recompute
-    per-cell per-dimension means. The core update of mode-1 codebook
-    training (/root/reference/Clustering.h:190-215: sum+count+divide)."""
+    centroid, then recompute per-cell per-dimension means. The core update
+    of mode-1 codebook training (/root/reference/Clustering.h:190-215:
+    sum+count+divide). Runs the ZERO-EXCHANGE arrow kernels (the codebook
+    ships in the task closure; each partition does one matrix argmax and
+    reduces to a k x d partial-sum — clustering.py assign_cells /
+    recompute_centroids), not the crossJoin+window plan that shuffles n*k
+    scored rows; the oracle replays the same math declaratively."""
+    from ivfadc_spark.operators.clustering import assign_cells, recompute_centroids
+
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cent = e.filter(F.col("vec_id") < _IVF_NCENTROIDS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("b")
-    )
-    sim = e.select("vec_id", "v", F.col("v").alias("a")).crossJoin(
-        F.broadcast(cent)
-    ).withColumn("cos_c", _cosine_cols())
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    assigned = (
-        sim.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("cell", "v")
-    )
-    return (
-        assigned.select("cell", F.posexplode("v").alias("dim", "val"))
-        .groupBy("cell", "dim")
-        .agg(F.count("*").cast("long").alias("n_members"), F.round(F.avg("val"), 6).alias("mean_val"))
-        .select("cell", F.col("dim").cast("int").alias("dim"), "n_members", "mean_val")
+    assigned = assign_cells(e, _coarse_pdf(e), metric="cosine")
+    _, stats = recompute_centroids(assigned, round_decimals=6)
+    out = stats.rename(columns={"m": "mean_val"})[["cell", "dim", "n_members", "mean_val"]]
+    return spark.createDataFrame(
+        out, schema="cell int, dim int, n_members long, mean_val double"
     )
 
 
@@ -2056,25 +2057,38 @@ def q_knn_ivf_trained(spark, sf_dir):
     )
     cents = cents.copy()
     cents["b"] = [list(map(float, x)) for x in cents["b"]]
-    cent = spark.createDataFrame(cents, schema="cell int, b array<double>")
-    sim = e.select("vec_id", "v", F.col("v").alias("a")).crossJoin(
-        F.broadcast(cent)
-    ).withColumn("cos_c", _cosine_cols())
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    ranked = sim.withColumn("r", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("r") == 1).select(
-        F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "cell"
+    return _ivf_probe_topk(e, cents)
+
+
+def _ivf_probe_topk(e, cent_pdf, cand_filter=None):
+    """Shared IVF probe: rank cells with the zero-exchange arrow kernel
+    (pq.coarse_assign, cosine — the codebook rides the task closure; no
+    Exchange before the argmax, tested in tests/test_plan_shapes.py),
+    derive candidate lists (r == 1, optionally attribute-prefiltered) and
+    probes (r <= nprobe, query fixture vec_id % 100 == 7), then score
+    exact cosine only inside probed cells and keep the top 5 per query.
+    The probes side is query-sized metadata -> broadcast; the exact-cosine
+    expression stays declarative for bit-parity with the DuckDB oracles."""
+    from ivfadc_spark.operators import pq
+
+    passthrough = tuple(c for c in e.columns if c not in ("vec_id", "v"))
+    ranked = pq.coarse_assign(
+        e, cent_pdf, nprobe=_IVF_NPROBE, metric="cosine", passthrough=passthrough
     )
+    cand = ranked.filter(F.col("r") == 1)
+    if cand_filter is not None:
+        cand = cand.filter(cand_filter)
+    cand = cand.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "cell")
     probes = (
         ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("a"), "cell")
     )
     scored = (
         F.broadcast(probes)
-        .join(assigned, "cell")
+        .join(cand, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
-    )
+    )  # assignment is unique (r==1), so no (query, cand) pair can duplicate
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -2088,38 +2102,12 @@ def q_knn_ivf(spark, sf_dir):
     codebook (deterministic: vectors vec_id < 16) keys inverted cell lists;
     a query probes its nprobe=2 nearest cells and scores exact cosine only
     inside them (O1 inverted-file pruning; ma=2 multi-assignment,
-    /root/reference/Vocab.cpp:236-248)."""
+    /root/reference/Vocab.cpp:236-248). Cell ranking runs the zero-exchange
+    arrow kernel (see _ivf_probe_topk)."""
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cent = e.filter(F.col("vec_id") < _IVF_NCENTROIDS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("b")
-    )
-    # assignment: nearest centroid per vector (J2 theta-join: broadcast
-    # codebook + argmax, never a shuffled cross join)
-    sim = e.select(F.col("vec_id"), F.col("v"), F.col("v").alias("a")).crossJoin(
-        F.broadcast(cent)
-    ).withColumn("cos_c", _cosine_cols())
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    ranked = sim.withColumn("r", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("r") == 1).select("vec_id", "v", "cell")
-    probes = (
-        ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("a"), "cell")
-    )
-    cand = assigned.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "cell")
-    scored = (
-        F.broadcast(probes)
-        .join(cand, "cell")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
-    )  # assignment is unique (r==1), so no (query, cand) pair can duplicate
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "cand_id", "cosine")
-    )
+    return _ivf_probe_topk(e, _coarse_pdf(e))
 
 
 _KNN_FILTER_LABEL = 1
@@ -2136,39 +2124,17 @@ def q_knn_ivf_filtered(spark, sf_dir):
     mode). The coarse assignment covers ALL vectors (the index is built
     once); the label predicate prunes the candidate scan — at 100 TB the
     codes live cell-partitioned with label as a row-group column, so the
-    filter pushes down to the parquet scan of only the probed cells."""
+    filter pushes down to the parquet scan of only the probed cells.
+    Cell ranking runs the zero-exchange arrow kernel with ``label`` as a
+    passthrough column (see _ivf_probe_topk)."""
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         "label",
     )
-    cent = e.filter(F.col("vec_id") < _IVF_NCENTROIDS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("b")
-    )
-    sim = e.select("vec_id", "v", "label", F.col("v").alias("a")).crossJoin(
-        F.broadcast(cent)
-    ).withColumn("cos_c", _cosine_cols())
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    ranked = sim.withColumn("r", F.row_number().over(w_assign))
     # pre-filter: only matching vectors enter the candidate lists
-    cand = ranked.filter(
-        (F.col("r") == 1) & (F.col("label") == _KNN_FILTER_LABEL)
-    ).select(F.col("vec_id").alias("cand_id"), F.col("v").alias("b"), "cell")
-    probes = (
-        ranked.filter((F.col("r") <= _IVF_NPROBE) & (F.col("vec_id") % 100 == 7))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("a"), "cell")
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(cand, "cell")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", F.round(_cosine_cols(), 6).alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "cand_id", "cosine")
+    return _ivf_probe_topk(
+        e, _coarse_pdf(e), cand_filter=F.col("label") == _KNN_FILTER_LABEL
     )
 
 
@@ -2191,12 +2157,7 @@ def q_knn_ivf_adc(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    coarse = (
-        e.filter(F.col("vec_id") < _IVF_NCENTROIDS)
-        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("b"))
-        .toPandas()
-    )
-    coarse["b"] = [list(map(float, x)) for x in coarse["b"]]
+    coarse = _coarse_pdf(e)
     ranked = pq.coarse_assign(e, coarse, nprobe=_IVF_NPROBE)
     res = pq.residuals(ranked.filter(F.col("r") == 1))
     books = pq.train_pq(res, _PQ_DIM, _PQ_NSQ, _PQ_KS, _PQ_ITERS)
@@ -2233,12 +2194,7 @@ def q_knn_ivf_adc_persisted(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    coarse = (
-        e.filter(F.col("vec_id") < _IVF_NCENTROIDS)
-        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("b"))
-        .toPandas()
-    )
-    coarse["b"] = [list(map(float, x)) for x in coarse["b"]]
+    coarse = _coarse_pdf(e)
     ranked = pq.coarse_assign(e, coarse, nprobe=_IVF_NPROBE)
     if sf_dir not in _PQ_INDEX_CACHE:
         res = pq.residuals(ranked.filter(F.col("r") == 1))
