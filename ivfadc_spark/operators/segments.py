@@ -120,8 +120,11 @@ class Segment:
     def dict_pdf(self):
         """Driver-cached pandas dictionary (term, df, cf, idf) — the resident
         coarse-codebook analog (/root/reference/Vocab.cpp:152-166: codebooks
-        are always fully loaded). Used by the batch query broker to prep
-        query terms without a Spark round-trip; vocabulary-sized."""
+        are always fully loaded). VOCABULARY-SIZED: an explicit OPT-IN cache
+        for small segments (``bm25_topk_batch(use_dict_cache=True)``) where
+        the resident frame amortizes across many batches; the default query
+        path resolves idf via a term-pruned dictionary scan instead, so the
+        driver never materializes a 100x-scale vocabulary."""
         if not hasattr(self, "_dict_pdf"):
             self._dict_pdf = self.dictionary.toPandas()
         return self._dict_pdf

@@ -171,6 +171,7 @@ def bm25_topk_batch(
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
     doc_mask: "np.ndarray | None" = None,
+    use_dict_cache: bool = False,
 ) -> DataFrame:
     """Doc-sharded batch top-k BM25 — the throughput path.
 
@@ -210,11 +211,28 @@ def bm25_topk_batch(
     _lm = combine_masks(live_mask(segment), doc_mask)
     bmask = spark.sparkContext.broadcast(_lm) if _lm is not None else None
 
-    # query prep: tokenize distributed (JVM explode), dedupe+idf merge on
-    # the driver against the cached dictionary (the broker role; a Spark
-    # join + collect here costs ~3s of fixed latency per batch)
+    # query prep: tokenize distributed (JVM explode) and collect the
+    # QUERY-sized term frame (the broker role: n_queries x terms rows,
+    # bounded by the batch — documented broker bound). idf then comes from
+    # a TERM-PRUNED dictionary scan: ``term IN (...)`` pushes down to the
+    # dict parquet (row-group stats / dictionary pages), so only matching
+    # slices are read and the driver never materializes the vocabulary —
+    # at 100x (hundreds of millions of terms) the old full-dictionary
+    # ``dict_pdf`` merge was the first OOM. ``use_dict_cache=True`` keeps
+    # the resident merge as an explicit opt-in for small segments where
+    # the cached frame amortizes across many batches.
     qt_pdf = query_terms(queries).toPandas()
-    qt_pdf = qt_pdf.merge(segment.dict_pdf[["term", "idf"]], on="term")  # drops OOV
+    if qt_pdf.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if use_dict_cache:
+        qt_pdf = qt_pdf.merge(segment.dict_pdf[["term", "idf"]], on="term")  # drops OOV
+    else:
+        idf_pdf = (
+            segment.dictionary.select("term", "idf")
+            .filter(F.col("term").isin(sorted(set(qt_pdf["term"]))))
+            .toPandas()
+        )
+        qt_pdf = qt_pdf.merge(idf_pdf, on="term")  # drops OOV
     if qt_pdf.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     bq = spark.sparkContext.broadcast(qt_pdf)
