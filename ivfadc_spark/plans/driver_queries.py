@@ -1634,17 +1634,19 @@ def q_minhash(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """LSH band join: doc pairs agreeing on the full 4-hash signature."""
+    """LSH band pairs (4-hash full-signature band) in STAR form: every doc
+    pairs with its band group's minimum doc_id, not with every other
+    member. A group of m mass-duplicates yields m-1 rows instead of
+    m*(m-1)/2 — the all-pairs self-join goes quadratic on exactly the
+    corpus shape dedup targets — and the plan is one window min (single
+    hash shuffle on the band key), no join at all. All-pairs clusters are
+    recoverable transitively (a~rep, b~rep => a~b); the oracle states the
+    same star definition (operators/dedup.py band_pair_stars; hot-bucket
+    guard, round-4 verdict item 7)."""
+    from ivfadc_spark.operators.dedup import band_pair_stars
+
     sig = q_minhash(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
-    cond = (
-        (F.col("a.h0") == F.col("b.h0")) & (F.col("a.h1") == F.col("b.h1"))
-        & (F.col("a.h2") == F.col("b.h2")) & (F.col("a.h3") == F.col("b.h3"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    return a.join(b, cond).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
+    return band_pair_stars(sig, ["h0", "h1", "h2", "h3"])
 
 
 _SIMHASH_BITS = 24
@@ -1879,23 +1881,19 @@ _NEARDUP_THRESHOLD = 0.4
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH bucket prefilter (first 12
     dims) then exact cosine >= threshold — the embedding analog of
-    minhash_pairs. At scale the bucket join replaces the O(n^2) cross join."""
+    minhash_pairs. At scale the bucket join replaces the O(n^2) cross
+    join, and EXACT duplicate vectors collapse to their min-vec_id
+    representative BEFORE the bucket join (hot-bucket guard: a vector
+    duplicated m times enters the quadratic join once, not m times —
+    operators/dedup.py embedding_near_dup_pairs; the oracle replays the
+    same collapse)."""
+    from ivfadc_spark.operators.dedup import embedding_near_dup_pairs
+
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    bucket = None
-    for i in range(_NEARDUP_BITS):
-        bit = F.when(F.element_at("v", i + 1) >= 0, 2**i).otherwise(0)
-        bucket = bit if bucket is None else bucket + bit
-    e = e.withColumn("bucket", bucket.cast("int"))
-    a = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("a"), "bucket")
-    b = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("b"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", F.round(_cosine_cols(), 6))
-        .filter(F.col("cosine") >= _NEARDUP_THRESHOLD)
-        .select("doc_a", "doc_b", "cosine")
+    return embedding_near_dup_pairs(
+        e, bits=_NEARDUP_BITS, threshold=_NEARDUP_THRESHOLD
     )
 
 
@@ -3002,11 +3000,11 @@ WITH sig AS (
   SELECT doc_id, {_MINHASH_COLS} FROM (
     SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents
   ) GROUP BY doc_id
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b
-  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
- AND a.doc_id < b.doc_id
+),
+g AS (SELECT h0, h1, h2, h3, min(doc_id) AS doc_a FROM sig GROUP BY h0, h1, h2, h3)
+SELECT g.doc_a, s.doc_id AS doc_b
+FROM sig s JOIN g USING (h0, h1, h2, h3)
+WHERE s.doc_id > g.doc_a
 """
 
 _SIMHASH_SUMS = ", ".join(
@@ -3288,8 +3286,9 @@ _NEARDUP_BUCKET = " + ".join(
     f"(CASE WHEN v[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(_NEARDUP_BITS)
 )
 ORACLES["embedding_near_dup"] = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  ({_NEARDUP_BUCKET})::INT AS bucket FROM embeddings),
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+reps AS (SELECT min(vec_id) AS vec_id, v FROM e0 GROUP BY v),
+e AS (SELECT vec_id, v, ({_NEARDUP_BUCKET})::INT AS bucket FROM reps),
 a AS (SELECT vec_id AS doc_a, v AS a, bucket FROM e),
 b AS (SELECT vec_id AS doc_b, v AS b, bucket FROM e)
 SELECT doc_a, doc_b, {_COS} AS cosine
