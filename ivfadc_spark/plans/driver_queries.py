@@ -1851,10 +1851,13 @@ def q_media_features(spark, sf_dir):
     media table (PNG images, PCM WAVs, opaque video blobs — no external
     data), stdlib decode (zlib/wave), 32-dim features per payload.
 
-    No SQL oracle exists for image decoding, so this entry takes the
-    driver's rows-only check; the codec layer itself is spec-tested in
-    tests/test_media_codecs.py (all five PNG filter types vs a scalar
-    reference implementation)."""
+    Hash-checked (formerly rows-only): the oracle is a VALUES literal of
+    the same feature slice recomputed DRIVER-SIDE in plain numpy (no
+    Spark), with identical float fold order — it independently verifies
+    the distributed plumbing end to end (Arrow batching, mapInPandas,
+    schema, binary payload round-trip). Codec correctness itself is
+    independently spec-tested in tests/test_media_codecs.py (all five PNG
+    filter types vs a scalar reference implementation)."""
     from ivfadc_spark.operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=96, seed=42)
@@ -3295,6 +3298,44 @@ SELECT doc_a, doc_b, {_COS} AS cosine
 FROM a JOIN b USING(bucket)
 WHERE doc_a < doc_b AND {_COS} >= {_NEARDUP_THRESHOLD}
 """
+
+
+def _media_oracle_sql() -> str:
+    """Decode-free-of-Spark oracle for media_features: the same 96-payload
+    deterministic media table decoded DRIVER-SIDE with plain numpy (no
+    Spark, no Arrow, no executors) and embedded as a VALUES literal. Float
+    parity: f_sum replays Spark's F.aggregate left fold (float32 widened
+    to double per step); rounding replays F.round's HALF_UP via
+    clustering._round_half_up. What this checks: the distributed path
+    (binary payload round-trip, mapInPandas batching, schema) reproduces
+    the reference computation bit-for-bit; codec correctness is
+    separately spec-tested (tests/test_media_codecs.py)."""
+    import numpy as _np
+
+    from ivfadc_spark.operators.clustering import _round_half_up
+    from ivfadc_spark.operators.multimodal import _decode_payload, synth_media_pdf
+
+    pdf = synth_media_pdf(n=96, seed=42)
+    rows = []
+    for _, r in pdf.iterrows():
+        feat = _decode_payload(bytes(r["payload"]), r["kind"])
+        acc = 0.0
+        for v in feat.tolist():  # same left fold as F.aggregate
+            acc = acc + v
+        f0, fsum, fmax = (
+            float(_round_half_up(_np.asarray([x], dtype=_np.float64), 6)[0])
+            for x in (float(feat[0]), acc, float(feat.max()))
+        )
+        rows.append(f"({int(r['media_id'])}, '{r['kind']}', {f0!r}, {fsum!r}, {fmax!r})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, kind, f0::DOUBLE AS f0, "
+        "f_sum::DOUBLE AS f_sum, f_max::DOUBLE AS f_max FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, kind, f0, f_sum, f_max)"
+    )
+
+
+ORACLES["media_features"] = _media_oracle_sql()
 
 ORACLES["kmeans_recompute"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

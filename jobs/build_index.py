@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--block-size", type=int, default=EngineConfig.block_size)
     ap.add_argument("--salt-df-threshold", type=int, default=EngineConfig.salt_df_threshold)
     ap.add_argument("--max-salts", type=int, default=EngineConfig.max_salts)
+    ap.add_argument(
+        "--no-fsck", action="store_true",
+        help="skip the post-build integrity gate (fsck + segment_stats)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("ivfadc-build-index")
@@ -47,7 +51,27 @@ def main() -> None:
         spark, tx, args.out, cfg=cfg, resume=args.resume,
         lineage={"input": args.input or args.from_documents},
     )
-    print(json.dumps(seg.meta))
+    meta = dict(seg.meta)
+    if not args.no_fsck:
+        # post-build integrity gate: the reference asserts invariants at
+        # every load (SURVEY.md §5); here the build itself refuses to hand
+        # over a segment whose blocks/sidecars/dictionary are inconsistent.
+        # fsck findings are corpus-metadata-sized; stats is one row.
+        from ivfadc_spark.operators.fsck import fsck_segment
+        from ivfadc_spark.operators.segments import segment_stats
+
+        findings = fsck_segment(seg, deep=True).collect()
+        meta["fsck"] = {"findings": len(findings), "deep": True}
+        meta["stats"] = {
+            k: (float(v) if k == "avgdl" else int(v))
+            for k, v in segment_stats(seg).collect()[0].asDict().items()
+        }
+        if findings:
+            for f in findings[:20]:
+                print(f"FSCK {f['check']} {f['key']}: {f['detail']}")
+            print(json.dumps(meta))
+            raise SystemExit(f"fsck: {len(findings)} integrity finding(s) in {args.out}")
+    print(json.dumps(meta))
 
 
 if __name__ == "__main__":
