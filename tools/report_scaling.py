@@ -6,10 +6,20 @@ episodes, so the minimum wall per leg estimates dedicated-hardware behavior.
 
     python tools/report_scaling.py 4 16 3
     python tools/report_scaling.py 4 16 17 12   # only trials t12..t17
+    python tools/report_scaling.py 4 16 17 12 BENCH/cpu_control_w3.json
 
 The optional 4th argument scopes the table to a trial window, so a report
 regenerated after a code change reflects ONLY that engine version's trials
-(mixing windows would take per-metric bests across different code).
+(mixing windows would take per-metric bests across different code). The
+optional 5th argument names the CONTROL file for that window — controls are
+only meaningful alongside the trials measured in the same window, and
+run_scaling.sh keeps one per window (cpu_control_t<START>.json) precisely so
+a regenerated table never silently pairs one window's engine numbers with a
+different day's host controls.
+
+Output goes to BENCH/SCALING_REPORT.md (a per-window view, safe to
+regenerate); the checked-in BENCH/BASELINE.md is the hand-authored
+authoritative presentation across all windows and is NEVER overwritten here.
 """
 
 import json
@@ -45,7 +55,11 @@ def main() -> None:
     eff_query = (q2 / q1) / ratio
 
     ceiling = None
-    cpath = os.path.join(BENCH, "cpu_control.json")
+    cpath = (
+        sys.argv[5]
+        if len(sys.argv) > 5
+        else os.path.join(BENCH, "cpu_control.json")
+    )
     if os.path.exists(cpath):
         with open(cpath) as f:
             ceiling = json.load(f)
@@ -66,7 +80,7 @@ def main() -> None:
     else:
         shape = f"core counts (taskset, `{m1}` on {n1} cores vs `{m2}` on {n2} cores)"
     lines = [
-        "# BENCH/BASELINE — measured throughput & scaling efficiency",
+        "# BENCH/SCALING_REPORT — window-scoped scaling view (auto-generated)",
         "",
         "Protocol: `tools/run_scaling.sh` — the same spark-submit job",
         "(`jobs/bench_scaling.py`) on the SAME input parquet at two pinned",
@@ -121,7 +135,7 @@ def main() -> None:
         ),
         "",
         f"Raw runs: `BENCH/run_n{n1}_t*.json`, `BENCH/run_n{n2}_t*.json`, "
-        "`BENCH/cpu_control.json`.",
+        "`" + os.path.basename(cpath) + "`.",
         "",
         "Why 32-way local mode is not used as the upper leg: in single-JVM",
         "local mode every executor thread, shuffle writer, and python worker",
@@ -144,12 +158,13 @@ def main() -> None:
             "rule's N-vs-4N-executor scaling, without the single-process",
             "allocator/page-fault artifacts thread-mode local[N] adds on top.",
         ]
-    # hand-written context survives regeneration: append BENCH/NARRATIVE.md
-    npath = os.path.join(BENCH, "NARRATIVE.md")
-    if os.path.exists(npath):
-        with open(npath) as f:
-            lines += ["", f.read().rstrip()]
-    out = os.path.join(BENCH, "BASELINE.md")
+    lines += [
+        "",
+        f"(window: trials t{start}..t{trials}; control file: `{os.path.basename(cpath)}`. "
+        "This file is the auto-generated view of ONE window — the authoritative "
+        "multi-window presentation is the hand-authored `BENCH/BASELINE.md`.)",
+    ]
+    out = os.path.join(BENCH, "SCALING_REPORT.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

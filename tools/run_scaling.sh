@@ -49,7 +49,12 @@ QUERIES="${SCALING_QUERIES:-50000}"
 mkdir -p BENCH
 
 python tools/make_dist.py >/dev/null
-python tools/cpu_control.py --n1 "$N1" --n2 "$N2" --out BENCH/cpu_control.json
+# one control file PER WINDOW (keyed by the window's first trial): controls
+# pair only with same-window trials; cpu_control.json stays as a back-compat
+# copy of the LATEST window's control
+CONTROL_OUT="BENCH/cpu_control_t${SCALING_TRIAL_START:-1}.json"
+python tools/cpu_control.py --n1 "$N1" --n2 "$N2" --out "$CONTROL_OUT"
+cp -f "$CONTROL_OUT" BENCH/cpu_control.json
 
 run() {
   local execs="$1" t="$2"
@@ -79,4 +84,4 @@ for t in $(seq "$TRIAL_START" "$TRIALS"); do
   echo "== trial $t ${MODE} $N2 cores" && run "$N2_EXECS" "$t"
 done
 
-python tools/report_scaling.py "$N1" "$N2" "$TRIALS" "$TRIAL_START"
+python tools/report_scaling.py "$N1" "$N2" "$TRIALS" "$TRIAL_START" "$CONTROL_OUT"
