@@ -52,7 +52,12 @@ from ivfadc_spark.operators.postings import (
     salted_tf,
 )
 from ivfadc_spark.operators.segments import Segment
-from ivfadc_spark.sources.transcripts import assign_doc_ids, plan_doc_ids, release_doc_ids
+from ivfadc_spark.sources.transcripts import (
+    _tokens_for_partitions,
+    assign_doc_ids,
+    plan_doc_ids,
+    release_doc_ids,
+)
 
 LAYOUT_VERSION = 3  # 3: doc_map carries the input's role/tool attributes
 
@@ -303,7 +308,22 @@ def build_index(
                 # parallelism = term_buckets — raise cfg.term_buckets with
                 # cluster size (it also sets scan-prune granularity),
                 # sentinel rows (bucket -1) are span-compressed and tiny.
-                .repartition("term_bucket")
+                # EXACT placement (round-5): plain repartition("term_bucket")
+                # hash-collides the term_buckets+1 bucket values into
+                # shuffle_partitions slots — event-log profiling at 16 cores
+                # showed only 14 non-empty tasks for 65 buckets, with 2-3
+                # buckets stacked on hot tasks (a width + skew loss exactly
+                # where the write should be embarrassingly parallel). The
+                # murmur3 placement tokens (_tokens_for_partitions) give one
+                # task per bucket: uniform, term_buckets+1 wide.
+                .repartition(
+                    int(cfg.term_buckets) + 1,
+                    F.element_at(
+                        F.array(*[F.lit(t) for t in _tokens_for_partitions(
+                            spark, int(cfg.term_buckets) + 1)]),
+                        F.col("term_bucket") + 2,
+                    ),
+                )
                 .write.mode("overwrite")
                 .partitionBy("term_bucket")
                 .parquet(p_blocks)
@@ -404,21 +424,33 @@ def build_index(
                     os.path.join(p_seg, "doc_lens")
                 )
 
-            with ThreadPoolExecutor(max_workers=1) as pool:
+            def _write_dict():
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "build_dict"
+                )
+                S.dictionary_from_metrics(
+                    metrics_cached.select("term", "postings", "cf"), n_docs
+                ).write.mode("overwrite").parquet(p_dict)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
                 lens_fut = pool.submit(_write_lens)
-                # metrics write materializes the per-term agg cache; the
-                # dictionary then derives from the CACHE (no parquet
-                # read-back) and overlaps the doc_lens job above — stage 02
-                # is two concurrent lanes instead of three serialized jobs
+                # materialize the per-term agg cache with ONE count job
+                # (overlapping the doc_lens lane), then the metrics write
+                # and the dictionary write both read the CACHE and run as
+                # two further concurrent lanes — stage 02 is three
+                # concurrent cache-fed lanes instead of (two lanes with the
+                # dict serialized behind the metrics write). The agg is
+                # computed exactly once either way; this only moves the
+                # cheap cache-read writes off the critical path.
                 spark.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", "build_dict"
                 )
                 try:
+                    metrics_cached.count()  # fires mobs; materializes cache
+                    dict_fut = pool.submit(_write_dict) if have_stats else None
                     metrics_cached.write.mode("overwrite").parquet(p_metrics)
-                    if have_stats:
-                        S.dictionary_from_metrics(
-                            metrics_cached.select("term", "postings", "cf"), n_docs
-                        ).write.mode("overwrite").parquet(p_dict)
+                    if dict_fut is not None:
+                        dict_fut.result()
                 finally:
                     spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
                 lens_fut.result()
