@@ -216,11 +216,19 @@ def _bucket_expr(bounds: list[tuple], leaves: list[int] | None = None):
 
     def ge(b):
         bc, bt = b
+        if bt is None:
+            # conversation-start boundary: ONE string compare per tree level
+            # instead of two-plus-an-int (plan_doc_ids truncates boundaries
+            # to conv starts — the counts job and both consumer shuffles
+            # evaluate this tree once per row, so halving it is a measured
+            # win on three jobs; boundary granularity moves only ~one
+            # conversation of rows per bucket, never any doc_id)
+            return F.col("conv_id") >= F.lit(bc)
         return (F.col("conv_id") > F.lit(bc)) | (
             (F.col("conv_id") == F.lit(bc))
             & (
                 F.coalesce(F.col("turn_idx"), F.lit(-(2**31)))
-                >= F.lit(int(bt if bt is not None else -(2**31)))
+                >= F.lit(int(bt))
             )
         )
 
@@ -262,7 +270,12 @@ def plan_doc_ids(df: DataFrame, num_partitions: int) -> tuple[DataFrame, list[in
         counts = [df.count()]
         bounds: list[tuple] = []
     else:
-        bounds = _range_bounds(df, n)
+        # boundaries truncated to conversation STARTS (turn component
+        # dropped): the bucket tree then costs one string compare per level
+        # (see _bucket_expr.ge) in the counts job and in every consumer's
+        # shuffle. Balance cost: a boundary moves by at most one
+        # conversation (~tens of rows); ids are global ranks and never move.
+        bounds = [(bc, None) for bc, _bt in _range_bounds(df, n)]
         timings["bounds_s"] = round(_time.time() - _t0, 3)
         _t1 = _time.time()
         bucket = _bucket_expr(bounds)
